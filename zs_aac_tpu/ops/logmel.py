@@ -1,0 +1,326 @@
+"""Fused log-mel spectrogram frontend (layer L0).
+
+Capability parity with the reference DSP frontend
+(``/root/reference/retrieval/models/feature_extractor.py:12-38``), which chains
+torchlibrosa ``Spectrogram`` (STFT: hann window, ``center=True``, reflect pad,
+power=2) and ``LogmelFilterBank`` (librosa slaney-norm mel filters,
+``ref=1.0``, ``amin=1e-10``, ``top_db=None``) to produce ``[B, 1, frames,
+n_mels]`` from a waveform batch ``[B, T]``.
+
+Two TPU-native implementations:
+
+- ``impl="xla"``: reflect-pad -> frame gather -> windowed rFFT -> power ->
+  mel matmul -> log10. Exact, simple, differentiable; the parity oracle.
+- ``impl="pallas"``: one fused Pallas kernel per (batch row, frame block).
+  The waveform stays in HBM; each grid step DMAs only the overlapping sample
+  span it needs into VMEM, builds the frame matrix in VMEM via a
+  gcd(hop, n_fft) strided-reshape decomposition (16 static copies instead of
+  a per-frame gather), then computes the DFT as two MXU matmuls against
+  window-folded cosine/sine bases, squares to power, applies the mel
+  filterbank as a third matmul, and takes log10 — no ``[B, F, n_fft]``
+  intermediate ever touches HBM.
+
+Frame count follows librosa ``center=True`` semantics: ``F = T // hop + 1``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "LogMelConfig",
+    "mel_filterbank",
+    "hann_window",
+    "num_frames",
+    "log_mel",
+    "log_mel_xla",
+    "log_mel_pallas",
+]
+
+_AMIN = 1e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class LogMelConfig:
+    """Audio frontend hyperparameters.
+
+    Defaults mirror the reference ``audio_args``
+    (``/root/reference/retrieval/settings/pretrain.yaml``): sr=32000,
+    n_fft=1024, hop=320, 64 mels, fmin=50, fmax=14000.
+    """
+
+    sr: int = 32000
+    n_fft: int = 1024
+    hop_length: int = 320
+    n_mels: int = 64
+    f_min: float = 50.0
+    f_max: float = 14000.0
+    ref: float = 1.0
+    amin: float = _AMIN
+
+    @classmethod
+    def from_dict(cls, audio_args: dict) -> "LogMelConfig":
+        return cls(
+            sr=audio_args["sr"],
+            n_fft=audio_args["n_fft"],
+            hop_length=audio_args["hop_length"],
+            n_mels=audio_args["n_mels"],
+            f_min=audio_args["f_min"],
+            f_max=audio_args["f_max"],
+        )
+
+
+def _hz_to_mel(freq: np.ndarray) -> np.ndarray:
+    """Slaney-scale Hz->mel (librosa ``htk=False`` default)."""
+    freq = np.asarray(freq, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freq - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = freq >= min_log_hz
+    mels = np.where(
+        log_t,
+        min_log_mel + np.log(np.maximum(freq, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = mels >= min_log_mel
+    freqs = np.where(log_t, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    f_min: float,
+    f_max: float,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, shape ``[n_fft//2+1, n_mels]``.
+
+    Matches ``librosa.filters.mel(htk=False, norm='slaney')`` (the
+    torchlibrosa ``LogmelFilterBank`` default) transposed for right-matmul.
+    """
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+    mel_pts = np.linspace(_hz_to_mel(f_min), _hz_to_mel(f_max), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    # Slaney area normalization.
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.T.astype(dtype)  # [n_freqs, n_mels]
+
+
+def hann_window(n_fft: int, dtype=np.float32) -> np.ndarray:
+    """Periodic (fftbins) hann window, matching scipy ``get_window('hann')``."""
+    n = np.arange(n_fft, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / n_fft)).astype(dtype)
+
+
+def num_frames(n_samples: int, cfg: LogMelConfig) -> int:
+    return n_samples // cfg.hop_length + 1
+
+
+def _reflect_pad(wave: jax.Array, pad: int) -> jax.Array:
+    return jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def log_mel_xla(wave: jax.Array, cfg: LogMelConfig) -> jax.Array:
+    """Log-mel via XLA rFFT. ``wave: [B, T] -> [B, 1, F, n_mels]`` float32."""
+    wave = wave.astype(jnp.float32)
+    B, T = wave.shape
+    pad = cfg.n_fft // 2
+    x = _reflect_pad(wave, pad)
+    F = num_frames(T, cfg)
+
+    idx = np.arange(F)[:, None] * cfg.hop_length + np.arange(cfg.n_fft)[None, :]
+    frames = x[:, idx]  # [B, F, n_fft]
+    win = jnp.asarray(hann_window(cfg.n_fft))
+    spec = jnp.fft.rfft(frames * win, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, F, n_freqs]
+
+    mel_w = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.f_min, cfg.f_max))
+    mel = power @ mel_w  # [B, F, n_mels]
+
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, cfg.amin))
+    log_mel = log_mel - 10.0 * math.log10(max(cfg.amin, cfg.ref))
+    return log_mel[:, None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _logmel_kernel(
+    chunk_ref,  # [1, 1, span_rows, g]  (VMEM) overlapping sample span, g-sample rows
+    cos_ref,   # [n_fft, n_freq_pad]  (VMEM) window-folded
+    sin_ref,   # [n_fft, n_freq_pad]  (VMEM) window-folded
+    mel_ref,   # [n_freq_pad, n_mel_pad] (VMEM)
+    out_ref,   # [1, block_f, n_mel_pad] (VMEM)
+    frames_ref,  # scratch [block_f, n_fft] fp32
+    *,
+    hop: int,
+    n_fft: int,
+    block_f: int,
+    g: int,
+    amin: float,
+    log_ref_scale: float,
+):
+    # Frame-matrix construction via gcd decomposition: with g = gcd(hop,
+    # n_fft), hop = hs*g, n_fft = nf*g. Viewing the chunk as rows of g
+    # samples, frame i's jj-th g-slice is row (i*hs + jj). For fixed jj the
+    # row indices over i form a stride-hs arithmetic sequence, which is a
+    # static slice + reshape + middle-axis take — nf static copies total,
+    # no per-frame gather.
+    hs = hop // g
+    nf = n_fft // g
+    chunk = chunk_ref[0, 0]
+    for jj in range(nf):
+        rows = chunk[jj : jj + block_f * hs].reshape(block_f, hs, g)
+        frames_ref[:, jj * g : (jj + 1) * g] = rows[:, 0, :]
+
+    # Windowed DFT as two MXU matmuls (window folded into the bases).
+    fr = frames_ref[:]
+    # Default MXU precision: ~0.2 dB worst-case deviation vs rFFT on
+    # near-zero bins, negligible after the encoder's input BatchNorm.
+    re = jnp.dot(fr, cos_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(fr, sin_ref[:], preferred_element_type=jnp.float32)
+    power = re * re + im * im  # [block_f, n_freq_pad]
+
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, amin)) - log_ref_scale
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def log_mel_pallas(wave: jax.Array, cfg: LogMelConfig, block_f: int = 256) -> jax.Array:
+    """Fused log-mel Pallas kernel. ``wave: [B, T] -> [B, 1, F, n_mels]``."""
+    wave = wave.astype(jnp.float32)
+    B, T = wave.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    F = num_frames(T, cfg)
+    F_pad = _round_up(F, block_f)
+    n_blocks = F_pad // block_f
+
+    g = math.gcd(hop, n_fft)
+    hs = hop // g
+    # Span must cover both the last frame ((block_f-1)*hop + n_fft) and the
+    # largest strided-reshape read ((nf-1) + block_f*hs rows of g samples).
+    span_rows = max(
+        ((block_f - 1) * hop + n_fft) // g,
+        (n_fft // g - 1) + block_f * hs,
+    )
+    span = span_rows * g
+
+    pad = n_fft // 2
+    x = _reflect_pad(wave, pad)
+    # Zero-pad the tail so every block's span is in bounds, then materialize
+    # the per-block overlapping spans as g-sample rows: [B, n_blocks,
+    # span_rows, g]. The ~2x waveform duplication is tiny next to the
+    # spectrogram it replaces, and lets Pallas auto-pipeline standard
+    # non-overlapping blocks (the Mosaic DMA engine cannot dynamic-slice
+    # sub-128-lane views).
+    hs = hop // g
+    total = (n_blocks - 1) * block_f * hop + span
+    x = jnp.pad(x, ((0, 0), (0, max(0, total - x.shape[1]))))
+    x_rows = x.reshape(B, x.shape[1] // g, g)
+    row_idx = np.arange(n_blocks)[:, None] * (block_f * hs) + np.arange(span_rows)[None, :]
+    x_ov = x_rows[:, row_idx]  # [B, n_blocks, span_rows, g]
+
+    n_freqs = n_fft // 2 + 1
+    n_freq_pad = _round_up(n_freqs, 128)
+    n_mel_pad = _round_up(cfg.n_mels, 128)
+
+    win = hann_window(n_fft, np.float64)
+    k = np.arange(n_fft, dtype=np.float64)[:, None]
+    f = np.arange(n_freq_pad, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    cos_b = (np.cos(ang) * win[:, None]).astype(np.float32)
+    sin_b = (-np.sin(ang) * win[:, None]).astype(np.float32)
+    # Zero the padded frequency columns so they contribute nothing.
+    cos_b[:, n_freqs:] = 0.0
+    sin_b[:, n_freqs:] = 0.0
+
+    mel_w = np.zeros((n_freq_pad, n_mel_pad), np.float32)
+    mel_w[:n_freqs, : cfg.n_mels] = mel_filterbank(
+        cfg.sr, n_fft, cfg.n_mels, cfg.f_min, cfg.f_max
+    )
+
+    kernel = functools.partial(
+        _logmel_kernel,
+        hop=hop,
+        n_fft=n_fft,
+        block_f=block_f,
+        g=g,
+        amin=cfg.amin,
+        log_ref_scale=10.0 * math.log10(max(cfg.amin, cfg.ref)),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, span_rows, g), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_fft, n_freq_pad), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, n_freq_pad), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_freq_pad, n_mel_pad), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_f, n_mel_pad), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, F_pad, n_mel_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_f, n_fft), jnp.float32),
+        ],
+    )(x_ov, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_w))
+
+    return out[:, :F, : cfg.n_mels][:, None, :, :]
+
+
+def log_mel(wave: jax.Array, cfg: LogMelConfig, impl: str = "xla") -> jax.Array:
+    """Dispatch: ``impl`` in {"xla", "pallas"}."""
+    if impl == "xla":
+        return log_mel_xla(wave, cfg)
+    if impl == "pallas":
+        return log_mel_pallas(wave, cfg)
+    raise ValueError(f"unknown log-mel impl: {impl!r}")
