@@ -1,0 +1,119 @@
+"""Decode-loop tests with a tiny deterministic LM (SURVEY.md §4c).
+
+The KV-cached ``lax.while_loop`` decoders are checked against brute-force
+full-recompute implementations (via ``gpt2_forward``) of the reference
+semantics — the same oracle relationship the reference's no-cache decode has
+to ours.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zs_aac_tpu.decoding.beam import beam_search
+from zs_aac_tpu.decoding.greedy import greedy_decode
+from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_forward, init_gpt2
+
+CFG = GPT2Config(vocab_size=50, n_positions=96, n_embd=32, n_layer=2, n_head=4)
+STOP = 7
+
+
+def _setup(seed=0, b=1):
+    params = init_gpt2(jax.random.key(seed), CFG)
+    rng = np.random.default_rng(seed)
+    prefix = jnp.asarray(rng.standard_normal((b, 4, CFG.n_embd)).astype(np.float32))
+    return params, prefix
+
+
+def _brute_greedy(params, prefix, entry_length, stop_ids):
+    """Full-recompute greedy, one stream."""
+    emb = prefix
+    out = []
+    for _ in range(entry_length):
+        logits = gpt2_forward(params, CFG, emb)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        if nxt in stop_ids:
+            break
+        emb = jnp.concatenate([emb, gpt2_embed(params, jnp.asarray([[nxt]]))], axis=1)
+    return out
+
+
+def test_greedy_matches_brute_force():
+    params, prefix = _setup(0)
+    tokens, lengths = greedy_decode(params, CFG, prefix, 20, STOP, 764)
+    want = _brute_greedy(params, prefix, 20, (STOP, 764))
+    got = list(np.asarray(tokens[0][: int(lengths[0])]))
+    assert got == want
+
+
+def test_greedy_batched_matches_per_item():
+    params, prefix = _setup(3, b=3)
+    tokens, lengths = greedy_decode(params, CFG, prefix, 16, STOP, 764)
+    for b in range(3):
+        want = _brute_greedy(params, prefix[b : b + 1], 16, (STOP, 764))
+        got = list(np.asarray(tokens[b][: int(lengths[b])]))
+        assert got == want, f"batch row {b}"
+
+
+def _brute_beam(params, prefix, beam_size, entry_length, stop):
+    """Full-recompute beam search with the reference's exact scoring
+    (length-normalized selection, stopped rows forced to token 0)."""
+    emb = np.asarray(prefix)  # [1, Lp, D]
+    scores = None
+    tokens = None
+    seq_lengths = np.ones(beam_size)
+    is_stopped = np.zeros(beam_size, bool)
+    generated = emb
+    for _ in range(entry_length):
+        logits = np.asarray(gpt2_forward(params, CFG, jnp.asarray(generated)))
+        logp = jax.nn.log_softmax(jnp.asarray(logits[:, -1]), axis=-1)
+        logp = np.array(logp)  # writable copy
+        if scores is None:
+            idx = np.argsort(-logp[0])[:beam_size]
+            scores = logp[0][idx]
+            tokens = idx[:, None]
+            generated = np.repeat(generated, beam_size, axis=0)
+        else:
+            logp[is_stopped] = -np.inf
+            logp[is_stopped, 0] = 0
+            scores_sum = scores[:, None] + logp
+            seq_lengths[~is_stopped] += 1
+            avg = scores_sum / seq_lengths[:, None]
+            flat = np.argsort(-avg.reshape(-1))[:beam_size]
+            src = flat // logp.shape[1]
+            nxt = flat % logp.shape[1]
+            seq_lengths = seq_lengths[src]
+            tokens = np.concatenate([tokens[src], nxt[:, None]], axis=1)
+            generated = generated[src]
+            scores = avg.reshape(-1)[flat] * seq_lengths
+            is_stopped = is_stopped[src]
+        nxt_tok = tokens[:, -1]
+        nxt_emb = np.asarray(gpt2_embed(params, jnp.asarray(nxt_tok)))[:, None]
+        generated = np.concatenate([generated, nxt_emb], axis=1)
+        is_stopped = is_stopped | (nxt_tok == stop)
+        if is_stopped.all():
+            break
+    return tokens, seq_lengths, scores / seq_lengths
+
+
+def test_beam_matches_brute_force():
+    params, prefix = _setup(1)
+    beam = 3
+    tokens, lengths, scores = beam_search(params, CFG, prefix, beam, 15, STOP)
+    bt, bl, bs = _brute_beam(params, prefix, beam, 15, STOP)
+    for k in range(beam):
+        L = int(lengths[k])
+        assert L == int(bl[k])
+        got = list(np.asarray(tokens[k][:L]))
+        want = list(bt[k][:L])
+        assert got == want, f"beam {k}: {got} vs {want}"
+    np.testing.assert_allclose(np.asarray(scores), bs, rtol=1e-4, atol=1e-4)
+
+
+def test_beam_all_beams_stop():
+    params, prefix = _setup(2)
+    tokens, lengths, scores = beam_search(params, CFG, prefix, 4, 40, STOP)
+    assert tokens.shape == (4, 40)
+    assert (lengths >= 1).all() and (lengths <= 40).all()
+    assert np.isfinite(np.asarray(scores)).all()

@@ -1,0 +1,135 @@
+"""Golden-value tests: BertEncoder and GPT-2 vs HF torch models (random init
+from config — no network), plus KV-cache decode consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from zs_aac_tpu.models.bert import BertConfig, BertEncoder, convert_bert
+from zs_aac_tpu.models.gpt2 import (
+    GPT2Config,
+    convert_gpt2,
+    gpt2_embed,
+    gpt2_forward,
+    gpt2_prefill,
+    gpt2_step,
+    init_gpt2,
+    init_kv_cache,
+)
+
+BCFG = BertConfig(
+    vocab_size=120, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=64, max_position_embeddings=40,
+)
+GCFG = GPT2Config(vocab_size=97, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+
+
+def _hf_bert():
+    import transformers
+
+    cfg = transformers.BertConfig(
+        vocab_size=BCFG.vocab_size,
+        hidden_size=BCFG.hidden_size,
+        num_hidden_layers=BCFG.num_hidden_layers,
+        num_attention_heads=BCFG.num_attention_heads,
+        intermediate_size=BCFG.intermediate_size,
+        max_position_embeddings=BCFG.max_position_embeddings,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    return transformers.BertModel(cfg).eval()
+
+
+def test_bert_matches_hf():
+    tm = _hf_bert()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, BCFG.vocab_size, (3, 11))
+    mask = np.ones((3, 11), np.int64)
+    mask[1, 7:] = 0
+    mask[2, 4:] = 0
+
+    with torch.no_grad():
+        want = tm(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    model = BertEncoder(BCFG)
+    variables = convert_bert(tm.state_dict(), BCFG)
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    assert got.shape == want.shape
+    # Padded positions attend differently in HF (they're masked as queries
+    # too via output), compare only valid positions.
+    for b in range(3):
+        L = int(mask[b].sum())
+        np.testing.assert_allclose(got[b, :L], want[b, :L], rtol=2e-4, atol=2e-4)
+
+
+def _hf_gpt2():
+    import transformers
+
+    cfg = transformers.GPT2Config(
+        vocab_size=GCFG.vocab_size,
+        n_positions=GCFG.n_positions,
+        n_embd=GCFG.n_embd,
+        n_layer=GCFG.n_layer,
+        n_head=GCFG.n_head,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(1)
+    return transformers.GPT2LMHeadModel(cfg).eval()
+
+
+def test_gpt2_matches_hf():
+    tm = _hf_gpt2()
+    params = convert_gpt2(tm.state_dict(), GCFG)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, GCFG.vocab_size, (2, 9))
+    with torch.no_grad():
+        want = tm(input_ids=torch.tensor(ids)).logits.numpy()
+
+    embeds = gpt2_embed(jax.tree.map(jnp.asarray, params), jnp.asarray(ids))
+    got = np.asarray(gpt2_forward(jax.tree.map(jnp.asarray, params), GCFG, embeds))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gpt2_inputs_embeds_and_mask_match_hf():
+    tm = _hf_gpt2()
+    params = jax.tree.map(jnp.asarray, convert_gpt2(tm.state_dict(), GCFG))
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((2, 7, GCFG.n_embd)).astype(np.float32) * 0.05
+    mask = np.array([[1, 1, 1, 1, 1, 1, 1], [1, 0, 1, 1, 1, 0, 1]], np.int64)
+    with torch.no_grad():
+        want = tm(
+            inputs_embeds=torch.tensor(emb), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+    got = np.asarray(gpt2_forward(params, GCFG, jnp.asarray(emb), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_kv_cache_decode_matches_full_forward():
+    params = init_gpt2(jax.random.key(0), GCFG)
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.standard_normal((2, 5, GCFG.n_embd)).astype(np.float32) * 0.1)
+    tail_ids = jnp.asarray(rng.integers(0, GCFG.vocab_size, (2, 4)))
+
+    # Full forward over [prompt ++ tail embeddings].
+    tail_emb = gpt2_embed(params, tail_ids)
+    full = gpt2_forward(params, GCFG, jnp.concatenate([prompt, tail_emb], axis=1))
+
+    # Prefill on prompt, then 4 cached steps.
+    cache = init_kv_cache(GCFG, 2, 16)
+    logits, cache = gpt2_prefill(params, GCFG, prompt, cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, :5]), rtol=1e-4, atol=1e-4)
+
+    for t in range(4):
+        step_logits, cache = gpt2_step(
+            params, GCFG, gpt2_embed(params, tail_ids[:, t]), cache, jnp.asarray(5 + t)
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits), np.asarray(full[:, 5 + t]), rtol=1e-4, atol=1e-4
+        )

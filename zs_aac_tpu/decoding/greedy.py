@@ -1,0 +1,69 @@
+"""Greedy (nucleus-truncated) decoding as a device-resident loop.
+
+Capability parity with the reference ``generate2``
+(``/root/reference/gpt2_prefix_eval.py:161-226``). Note the reference
+computes a top-p mask and then takes **argmax** — since nucleus filtering
+always keeps the most-probable token, the emitted token is exactly the
+global argmax; the filter is a no-op. This implementation is therefore pure
+greedy argmax, which is output-identical. The extra hardcoded stop id 764
+(``:214``) is kept.
+
+Unlike the reference (full-sequence recompute per step, batch size 1), this
+is a batched ``lax.while_loop`` over a preallocated KV cache: one prefill +
+``entry_length`` single-token steps, all on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_prefill, gpt2_step, init_kv_cache
+
+__all__ = ["greedy_decode"]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
+def greedy_decode(
+    params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,     # [B, Lp, D]
+    entry_length: int = 67,
+    stop_token_id: int = 13,      # GPT-2 '.'
+    extra_stop_id: int = 764,     # reference's hardcoded ' .'-ish id
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tokens [B, entry_length] int32, lengths [B] int32).
+
+    ``lengths`` counts emitted tokens including the stop token; padding
+    after the stop token is 0.
+    """
+    B, Lp, _ = prefix_embeds.shape
+    cache = init_kv_cache(cfg, B, Lp + entry_length, prefix_embeds.dtype)
+    logits, cache = gpt2_prefill(params, cfg, prefix_embeds, cache)
+    cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.zeros((B, entry_length), jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+
+    lengths0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return (i < entry_length) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, cache, finished, cur, lengths = state
+        tokens = tokens.at[:, i].set(jnp.where(finished, 0, cur))
+        lengths = lengths + (~finished).astype(jnp.int32)
+        now_stopped = finished | (cur == stop_token_id) | (cur == extra_stop_id)
+        logits, cache = gpt2_step(params, cfg, gpt2_embed(params, cur), cache, Lp + i)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return i + 1, tokens, cache, now_stopped, nxt, lengths
+
+    _, tokens, _, _, _, lengths = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)
+    )
+    return tokens, lengths

@@ -1,0 +1,278 @@
+"""GPT-2 language model (layer L5 decoder), TPU-native and KV-cached.
+
+Capability parity with the reference's HF ``GPT2LMHeadModel`` usage
+(``/root/reference/models/caption_model.py:52``): prefix embeddings are fed
+via ``inputs_embeds``, logits come back tied to the token embedding.
+
+Design departures that are the point of the rebuild (SURVEY.md §8.5): the
+reference's beam/greedy decode re-runs the full sequence every step with no
+KV cache (``gpt2_prefix_eval.py:99-226``); here the model is a set of pure
+functions over a parameter pytree with a **preallocated, fixed-shape KV
+cache** so the whole decode loop lives inside one ``lax.while_loop`` on
+device. Matching the reference's inference semantics, cached decode applies
+only the causal mask (the reference passes no attention mask at decode
+time); training forward supports an explicit padding mask.
+
+Weight layout matches HF GPT-2 (``Conv1D`` stores ``[in, out]``), so
+published checkpoints convert without transposes; see ``convert_gpt2``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zs_aac_tpu.models.convert import to_numpy_state_dict
+
+__all__ = [
+    "GPT2Config",
+    "convert_gpt2",
+    "init_gpt2",
+    "gpt2_embed",
+    "gpt2_forward",
+    "init_kv_cache",
+    "gpt2_prefill",
+    "gpt2_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    layer_norm_epsilon: float = 1e-5
+
+
+def _gelu_new(x):
+    return 0.5 * x * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _split_heads(x, n_head):
+    B, L, D = x.shape
+    return x.reshape(B, L, n_head, D // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, L, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H * d)
+
+
+def _attn_block(p, cfg, x, *, bias, kv=None):
+    """Self-attention. ``kv``: optional override (k, v) each [B,H,T,d]."""
+    qkv = x @ p["c_attn"]["w"] + p["c_attn"]["b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, cfg.n_head)
+    if kv is None:
+        k = _split_heads(k, cfg.n_head)
+        v = _split_heads(v, cfg.n_head)
+        new_kv = (k, v)
+    else:
+        new_kv = (_split_heads(k, cfg.n_head), _split_heads(v, cfg.n_head))
+        k, v = kv
+    d = cfg.n_embd // cfg.n_head
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d).astype(x.dtype)
+    att = jax.nn.softmax(att + bias, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+    out = _merge_heads(out) @ p["c_proj"]["w"] + p["c_proj"]["b"]
+    return out, new_kv
+
+
+def _block(p, cfg, x, *, bias, kv=None):
+    a, new_kv = _attn_block(p["attn"], cfg, _ln(x, p["ln_1"], cfg.layer_norm_epsilon),
+                            bias=bias, kv=kv)
+    x = x + a
+    h = _ln(x, p["ln_2"], cfg.layer_norm_epsilon)
+    h = _gelu_new(h @ p["mlp"]["c_fc"]["w"] + p["mlp"]["c_fc"]["b"])
+    h = h @ p["mlp"]["c_proj"]["w"] + p["mlp"]["c_proj"]["b"]
+    return x + h, new_kv
+
+
+def gpt2_embed(params, tokens):
+    """Token ids -> wte embeddings."""
+    return params["wte"][tokens]
+
+
+def gpt2_forward(
+    params,
+    cfg: GPT2Config,
+    inputs_embeds: jax.Array,                 # [B, L, D]
+    attention_mask: Optional[jax.Array] = None,  # [B, L] 1=keep
+    position_offset: int = 0,
+):
+    """Full-sequence forward -> logits [B, L, vocab]."""
+    B, L, D = inputs_embeds.shape
+    pos = jnp.arange(L) + position_offset
+    x = inputs_embeds + params["wpe"][pos][None]
+
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    bias = jnp.where(causal, 0.0, -1e9)[None, None]
+    if attention_mask is not None:
+        bias = bias + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+    bias = bias.astype(x.dtype)
+
+    for i in range(cfg.n_layer):
+        x, _ = _block(params["h"][i], cfg, x, bias=bias)
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    return x @ params["wte"].T
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decoding
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32):
+    """Preallocated cache: k/v stacked over layers, [n_layer, B, H, T, d]."""
+    d = cfg.n_embd // cfg.n_head
+    shape = (cfg.n_layer, batch, cfg.n_head, max_len, d)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def gpt2_prefill(params, cfg: GPT2Config, inputs_embeds, cache):
+    """Run the prompt through the model, filling cache[:, :, :, :L].
+
+    Returns (logits [B, L, vocab], cache). Decode-time semantics: causal
+    mask only (reference passes no padding mask at inference).
+    """
+    B, L, D = inputs_embeds.shape
+    x = inputs_embeds + params["wpe"][jnp.arange(L)][None]
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    bias = jnp.where(causal, 0.0, -1e9)[None, None].astype(x.dtype)
+
+    ks, vs = [], []
+    for i in range(cfg.n_layer):
+        x, (k, v) = _block(params["h"][i], cfg, x, bias=bias)
+        ks.append(k)
+        vs.append(v)
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = x @ params["wte"].T
+
+    T = cache["k"].shape[3]
+    pad = [(0, 0), (0, 0), (0, T - L), (0, 0)]
+    cache = {
+        "k": jnp.stack([jnp.pad(k, pad) for k in ks]).astype(cache["k"].dtype),
+        "v": jnp.stack([jnp.pad(v, pad) for v in vs]).astype(cache["v"].dtype),
+    }
+    return logits, cache
+
+
+def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index):
+    """One cached decode step.
+
+    ``x_embed``: [B, D] embedding of the token at position ``index`` (traced
+    scalar). Returns (logits [B, vocab], updated cache).
+    """
+    B, D = x_embed.shape
+    x = (x_embed + params["wpe"][index])[:, None]  # [B, 1, D]
+
+    T = cache["k"].shape[3]
+    valid = (jnp.arange(T) <= index)[None, None, None]  # [1,1,1,T]
+    bias = jnp.where(valid, 0.0, -1e9).astype(x.dtype)
+
+    new_k, new_v = [], []
+    for i in range(cfg.n_layer):
+        blk = params["h"][i]
+        h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
+        qkv = h @ blk["attn"]["c_attn"]["w"] + blk["attn"]["c_attn"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.n_head)  # [B, H, 1, d]
+        k = _split_heads(k, cfg.n_head)
+        v = _split_heads(v, cfg.n_head)
+        ck = jax.lax.dynamic_update_index_in_dim(cache["k"][i], k[:, :, 0], index, axis=2)
+        cv = jax.lax.dynamic_update_index_in_dim(cache["v"][i], v[:, :, 0], index, axis=2)
+        new_k.append(ck)
+        new_v.append(cv)
+        d = cfg.n_embd // cfg.n_head
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / np.sqrt(d).astype(x.dtype)
+        att = jax.nn.softmax(att + bias, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", att, cv)
+        o = _merge_heads(o) @ blk["attn"]["c_proj"]["w"] + blk["attn"]["c_proj"]["b"]
+        x = x + o
+        h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
+        h = _gelu_new(h @ blk["mlp"]["c_fc"]["w"] + blk["mlp"]["c_fc"]["b"])
+        x = x + (h @ blk["mlp"]["c_proj"]["w"] + blk["mlp"]["c_proj"]["b"])
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = (x @ params["wte"].T)[:, 0]
+    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Weights
+# ---------------------------------------------------------------------------
+
+
+def convert_gpt2(state_dict, cfg: GPT2Config) -> dict:
+    """HF ``GPT2LMHeadModel``/``GPT2Model`` state_dict -> param pytree."""
+    sd = to_numpy_state_dict(state_dict)
+    sd = {k.removeprefix("transformer."): v for k, v in sd.items()}
+
+    def cv(prefix):  # HF Conv1D: weight already [in, out]
+        return {"w": sd[prefix + ".weight"], "b": sd[prefix + ".bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    h = []
+    for i in range(cfg.n_layer):
+        h.append(
+            {
+                "ln_1": ln(f"h.{i}.ln_1"),
+                "ln_2": ln(f"h.{i}.ln_2"),
+                "attn": {"c_attn": cv(f"h.{i}.attn.c_attn"), "c_proj": cv(f"h.{i}.attn.c_proj")},
+                "mlp": {"c_fc": cv(f"h.{i}.mlp.c_fc"), "c_proj": cv(f"h.{i}.mlp.c_proj")},
+            }
+        )
+    return {
+        "wte": sd["wte.weight"],
+        "wpe": sd["wpe.weight"],
+        "h": h,
+        "ln_f": ln("ln_f"),
+    }
+
+
+def init_gpt2(rng: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> dict:
+    """Random init with GPT-2's scheme (normal 0.02, zeros bias)."""
+    keys = jax.random.split(rng, 2 + cfg.n_layer)
+
+    def nrm(key, shape, std=0.02):
+        return (jax.random.normal(key, shape) * std).astype(dtype)
+
+    def lin(key, i, o):
+        return {"w": nrm(key, (i, o)), "b": jnp.zeros((o,), dtype)}
+
+    def lnp(dim):
+        return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+    D = cfg.n_embd
+    h = []
+    for i in range(cfg.n_layer):
+        sub = jax.random.split(keys[2 + i], 4)
+        h.append(
+            {
+                "ln_1": lnp(D),
+                "ln_2": lnp(D),
+                "attn": {"c_attn": lin(sub[0], D, 3 * D), "c_proj": lin(sub[1], D, D)},
+                "mlp": {"c_fc": lin(sub[2], D, 4 * D), "c_proj": lin(sub[3], 4 * D, D)},
+            }
+        )
+    return {
+        "wte": nrm(keys[0], (cfg.vocab_size, D)),
+        "wpe": nrm(keys[1], (cfg.n_positions, D), std=0.01),
+        "h": h,
+        "ln_f": lnp(D),
+    }
