@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Headline benchmark: zero-shot caption decode throughput on TPU.
+
+Measures the flagship pipeline — CLAP prefix -> mapper -> GPT-2 (124M)
+KV-cached greedy decode, 67 steps (the reference predict path,
+``/root/reference/predict_prompt.py:129-144`` / ``gpt2_prefix_eval.py:161``)
+— and prints ONE JSON line.
+
+``vs_baseline`` compares against the reference implementation's measured
+CPU throughput: PyTorch GPT2LMHeadModel, full-sequence recompute per step
+(no KV cache), batch size 1, as the reference decodes. Measured on this
+host (1 vCPU): 182.6 ms/step -> 0.082 captions/sec for a 67-step caption.
+Re-measure with ``--measure-cpu``.
+
+Timing method: the axon TPU tunnel caches identical executions and
+``block_until_ready`` is unreliable, so N calls are chained with a data
+dependency and timed against a 1-call baseline (see
+.claude/skills/verify/SKILL.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+CPU_REFERENCE_CAPTIONS_PER_SEC = 0.082  # measured 2026-08-16, see docstring
+
+
+def measure_cpu_reference(steps=20):
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    m = GPT2LMHeadModel(GPT2Config()).eval()
+    emb = torch.randn(1, 10, 768) * 0.02
+    with torch.no_grad():
+        m(inputs_embeds=emb)
+        gen = emb
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = m(inputs_embeds=gen)
+            nxt = out.logits[:, -1].argmax(-1)
+            gen = torch.cat([gen, m.transformer.wte(nxt)[:, None]], dim=1)
+        per_step = (time.perf_counter() - t0) / steps
+    return 1.0 / (per_step * 67)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--entry-length", type=int, default=67)
+    ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--measure-cpu", action="store_true")
+    args = ap.parse_args()
+
+    baseline = CPU_REFERENCE_CAPTIONS_PER_SEC
+    if args.measure_cpu:
+        baseline = measure_cpu_reference()
+        print(f"cpu reference: {baseline:.4f} captions/sec", file=sys.stderr)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.decoding.greedy import greedy_decode
+    from zs_aac_tpu.models.caption import CaptionConfig, caption_embeddings, init_caption_model
+    from zs_aac_tpu.models.gpt2 import GPT2Config
+
+    cfg = CaptionConfig(prefix_length=10, prefix_size=1024, gpt2=GPT2Config())
+    params = jax.device_put(init_caption_model(jax.random.key(0), cfg))
+    gp = params["gpt2"]
+
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(rng.standard_normal((args.batch, 1024)).astype(np.float32))
+    embed_fn = jax.jit(lambda p, pr: caption_embeddings(p, cfg, pr))
+    emb0 = embed_fn(params, prefix)
+
+    def chained(emb, n):
+        toks = None
+        for _ in range(n):
+            toks, _ = greedy_decode(gp, cfg.gpt2, emb, args.entry_length, 13, 764)
+            emb = emb + (toks.sum() % 2).astype(emb.dtype) * 1e-9
+        return toks
+
+    np.asarray(chained(emb0, 1))  # warm / compile
+    t0 = time.perf_counter()
+    np.asarray(chained(emb0, 1))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(chained(emb0, args.chain + 1))
+    t_many = time.perf_counter() - t0
+    per_call = (t_many - t_one) / args.chain
+    throughput = args.batch / per_call
+
+    print(
+        f"greedy decode: {per_call*1e3:.1f} ms / batch{args.batch} "
+        f"x {args.entry_length} steps on {jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "caption_decode_throughput",
+                "value": round(throughput, 2),
+                "unit": "captions/sec",
+                "vs_baseline": round(throughput / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

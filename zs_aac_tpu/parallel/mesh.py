@@ -1,0 +1,81 @@
+"""Device mesh + sharding utilities (the reference's DDP/NCCL, TPU-native).
+
+The reference's only parallelism is data parallelism via PyTorch DDP over
+NCCL with env/SLURM rank discovery
+(``/root/reference/retrieval/tools/utils.py:109-137``). On TPU this becomes
+a 1-D ``data`` mesh: inputs are sharded batch-wise with ``NamedSharding``,
+parameters are replicated, and XLA inserts the gradient all-reduce over ICI
+(intra-slice) / DCN (cross-slice) automatically — no hand-written
+collectives. Multi-host process-level utilities (rank-0 logging, per-host
+data sharding offsets) mirror the reference's helpers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate",
+    "process_count",
+    "process_index",
+    "is_main_process",
+    "local_batch_slice",
+]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over (up to) all available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharding for input arrays."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of host arrays with the leading dim sharded over data."""
+    sh = data_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """The reference's rank-0 check (tools/utils.py:105)."""
+    return jax.process_index() == 0
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """Per-host slice of a global batch (replaces DistributedSampler's
+    rank-offset sharding, datamodule.py:52-54)."""
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)
