@@ -30,6 +30,7 @@ __all__ = [
     "linear_kernel",
     "convert_cnn",
     "convert_resnet38",
+    "convert_htsat",
 ]
 
 
@@ -105,19 +106,70 @@ def convert_resnet38(state_dict: Mapping, layers=(3, 4, 6, 3)) -> dict:
     for stage, blocks in enumerate(layers):
         for b in range(blocks):
             src = f"resnet.layer{stage + 1}.{b}"
-            dst = (f"layer{stage + 1}_block{b}",)
-            for c in ("conv1", "conv2"):
-                _put_conv(params, dst + (c,), sd, f"{src}.{c}")
-            for bn in ("bn1", "bn2"):
-                _put_bn(params, stats, dst + (bn,), sd, f"{src}.{bn}")
-            # Downsample Sequential: stride-1 stages are (conv, bn) = (0, 1);
-            # stride-2 stages are (AvgPool, conv, bn) = (_, 1, 2)
-            # (reference `_make_layer`, cnns.py:303-330).
-            for ci, bi in ((0, 1), (1, 2)):
-                if f"{src}.downsample.{ci}.weight" in sd and sd[
-                    f"{src}.downsample.{ci}.weight"
-                ].ndim == 4:
-                    _put_conv(params, dst + ("ds_conv",), sd, f"{src}.downsample.{ci}")
-                    _put_bn(params, stats, dst + ("ds_bn",), sd, f"{src}.downsample.{bi}")
-                    break
+            _convert_resnet_block(params, stats, sd, src, (f"layer{stage + 1}_block{b}",))
+    return _finish(params, stats)
+
+
+def _convert_resnet_block(params, stats, sd, src, dst):
+    for c in ("conv1", "conv2"):
+        _put_conv(params, dst + (c,), sd, f"{src}.{c}")
+    for bn in ("bn1", "bn2"):
+        _put_bn(params, stats, dst + (bn,), sd, f"{src}.{bn}")
+    # Downsample Sequential: stride-1 stages are (conv, bn) = (0, 1);
+    # stride-2 stages are (AvgPool, conv, bn) = (_, 1, 2)
+    # (reference `_make_layer`, cnns.py:303-330).
+    for ci, bi in ((0, 1), (1, 2)):
+        key = f"{src}.downsample.{ci}.weight"
+        if key in sd and sd[key].ndim == 4:
+            _put_conv(params, dst + ("ds_conv",), sd, f"{src}.downsample.{ci}")
+            _put_bn(params, stats, dst + ("ds_bn",), sd, f"{src}.downsample.{bi}")
+            break
+
+
+def convert_htsat(state_dict: Mapping, depths=(2, 2, 6, 2)) -> dict:
+    """HTSAT (WavCaps ``HTSAT.ckpt`` / CLAP audio tower) state_dict ->
+    variables for ``models.htsat.HTSAT``.
+
+    Mirrors the reference's key surgery (skip spectrogram_extractor /
+    logmel_extractor / spec_augmenter; the unused ``head`` Linear is also
+    dropped — the embedding path never applies it, htsat.py:957).
+    """
+    sd = to_numpy_state_dict(state_dict)
+    params, stats = {}, {}
+
+    def put_ln(path, prefix):
+        params[path + ("scale",)] = sd[prefix + ".weight"]
+        params[path + ("bias",)] = sd[prefix + ".bias"]
+
+    def put_dense(path, prefix, bias=True):
+        params[path + ("kernel",)] = linear_kernel(sd[prefix + ".weight"])
+        if bias and prefix + ".bias" in sd:
+            params[path + ("bias",)] = sd[prefix + ".bias"]
+
+    _put_bn(params, stats, ("bn0",), sd, "bn0")
+    _put_conv(params, ("patch_proj",), sd, "patch_embed.proj")
+    put_ln(("patch_norm",), "patch_embed.norm")
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            src = f"layers.{i}.blocks.{j}"
+            dst = (f"layer{i}_block{j}",)
+            put_ln(dst + ("norm1",), f"{src}.norm1")
+            put_ln(dst + ("norm2",), f"{src}.norm2")
+            put_dense(dst + ("attn", "qkv"), f"{src}.attn.qkv")
+            put_dense(dst + ("attn", "proj"), f"{src}.attn.proj")
+            params[dst + ("attn", "rpb_table")] = sd[
+                f"{src}.attn.relative_position_bias_table"
+            ]
+            put_dense(dst + ("fc1",), f"{src}.mlp.fc1")
+            put_dense(dst + ("fc2",), f"{src}.mlp.fc2")
+        if i < len(depths) - 1:
+            put_ln((f"downsample{i}", "norm"), f"layers.{i}.downsample.norm")
+            put_dense(
+                (f"downsample{i}", "reduction"), f"layers.{i}.downsample.reduction",
+                bias=False,
+            )
+
+    put_ln(("norm",), "norm")
+    _put_conv(params, ("tscam_conv",), sd, "tscam_conv")
     return _finish(params, stats)
