@@ -1,0 +1,144 @@
+"""MAGIC decode semantics, WordPiece tokenizer golden, driver smoke tests."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zs_aac_tpu.data.bert_tokenizer import WordPieceTokenizer
+from zs_aac_tpu.data.tokenizer import WordTokenizer
+from zs_aac_tpu.decoding.magic import clap_logprobs, magic_search, make_magic_scorer
+from zs_aac_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+GCFG = GPT2Config(vocab_size=50, n_positions=96, n_embd=32, n_layer=2, n_head=4)
+STOP = 7
+
+
+def test_wordpiece_matches_hf():
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "dog", "bark", "##s",
+             "rain", "fall", "##ing", "the", ".", ",", "in", "park"]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        vp = os.path.join(d, "vocab.txt")
+        with open(vp, "w") as f:
+            f.write("\n".join(vocab) + "\n")
+        from transformers import BertTokenizer
+
+        hf = BertTokenizer(vocab_file=vp, do_lower_case=True)
+        ours = WordPieceTokenizer.from_file(vp)
+        for text in ["A dog barks.", "rain falling in the park", "zebra unknown!"]:
+            want = hf.encode(text, truncation=True, max_length=30)
+            got = ours.encode(text, max_length=30)
+            assert got == want, f"{text!r}: {got} vs {want}"
+        ids, mask = ours.batch_encode(["a dog.", "rain falling in the park."])
+        hf_batch = hf(["a dog.", "rain falling in the park."], padding="longest",
+                      truncation=True, max_length=30)
+        np.testing.assert_array_equal(ids, np.asarray(hf_batch["input_ids"]))
+        np.testing.assert_array_equal(mask, np.asarray(hf_batch["attention_mask"]))
+
+
+def test_clap_logprobs_is_log_softmax():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(8).astype(np.float32)
+    t = rng.standard_normal((5, 8)).astype(np.float32)
+    lp = clap_logprobs(a, t, 0.07)
+    np.testing.assert_allclose(np.exp(lp).sum(), 1.0, rtol=1e-5)
+
+
+def test_magic_search_beta_zero_close_to_greedy_and_guidance_steers():
+    params = init_gpt2(jax.random.key(0), GCFG)
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(rng.standard_normal((1, 4, GCFG.n_embd)).astype(np.float32))
+    audio = rng.standard_normal(16).astype(np.float32)
+
+    tok = WordTokenizer(["w%d" % i for i in range(48)])
+
+    # fake CLAP text encoder: deterministic hash embedding of the text
+    def fake_encode(texts):
+        out = []
+        for t in texts:
+            h = abs(hash(t)) % (2**31)
+            r = np.random.default_rng(h)
+            out.append(r.standard_normal(16).astype(np.float32))
+        return np.stack(out)
+
+    scorer = make_magic_scorer(None, tok, encode_text_fn=fake_encode)
+
+    ids_a = magic_search(params, GCFG, prefix, audio, scorer,
+                         beam_width=5, alpha=0.1, beta=0.0, decoding_len=10,
+                         stop_token_id=STOP)
+    assert 1 <= len(ids_a) <= 10
+    # deterministic given same inputs
+    ids_b = magic_search(params, GCFG, prefix, audio, scorer,
+                         beam_width=5, alpha=0.1, beta=0.0, decoding_len=10,
+                         stop_token_id=STOP)
+    assert ids_a == ids_b
+    # strong CLAP guidance changes the output (beta dominates)
+    ids_c = magic_search(params, GCFG, prefix, audio, scorer,
+                         beam_width=5, alpha=0.1, beta=50.0, decoding_len=10,
+                         stop_token_id=STOP)
+    assert ids_c != ids_a
+
+
+def _mk_bank(path, n=48, e=512, seed=0, test=False):
+    rng = np.random.default_rng(seed)
+    words = ["dog", "cat", "rain", "wind", "bird", "car", "horn", "water"]
+    recs = []
+    for i in range(n):
+        w = [words[int(x) % len(words)] for x in rng.integers(0, 8, 8)]
+        cap = " ".join(w) + " sound."
+        rec = {
+            "audio_id": f"clip{i}",
+            "text_embedding": rng.standard_normal((1, e)).astype(np.float32),
+            "audio_embedding": rng.standard_normal((1, e)).astype(np.float32),
+        }
+        if test:
+            rec["caption"] = [{"caption": cap}, {"caption": cap}]
+        else:
+            rec["caption"] = cap
+        recs.append(rec)
+    if test:
+        with open(path, "wb") as f:
+            pickle.dump(recs, f)
+    else:
+        with open(path, "wb") as f:
+            for r in recs:
+                pickle.dump(r, f)
+    return recs
+
+
+def test_train_and_predict_drivers_smoke(tmp_path):
+    train_bank = str(tmp_path / "train.pkl")
+    test_bank = str(tmp_path / "test.pkl")
+    _mk_bank(train_bank, n=40)
+    _mk_bank(test_bank, n=3, seed=1, test=True)
+
+    from zs_aac_tpu.train.train_prompt import main as train_main
+
+    out_dir = train_main([
+        "--data", train_bank, "--valdata", test_bank,
+        "--out_dir", str(tmp_path / "runs"),
+        "--bs", "8", "--epochs", "1", "--warmup", "0",
+        "--val_interval", "3", "--gpt2_size", "tiny",
+        "--prefix_length", "4", "--prefix_length_clip", "4",
+        "--noise_variance", "0.016",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "params.json"))
+    assert os.path.exists(os.path.join(out_dir, "best.pth"))
+    assert os.path.exists(os.path.join(out_dir, "last.pth"))
+    assert os.path.exists(os.path.join(out_dir, "train_caption.log"))
+
+    from zs_aac_tpu.train.predict_prompt import main as predict_main
+
+    scores = predict_main(["--test_dir", out_dir, "--data", test_bank, "--isbeam"])
+    assert os.path.exists(os.path.join(out_dir, "scores.txt"))
+    out = json.load(open(os.path.join(out_dir, "output.txt")))
+    assert len(out["predictions"]) == 3
+    assert "SPIDEr" in scores
+    txt = open(os.path.join(out_dir, "scores.txt")).read()
+    assert "Bleu-4" in txt and "SPIDEr" in txt

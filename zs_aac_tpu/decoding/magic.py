@@ -1,0 +1,200 @@
+"""MAGIC: CLAP-guided contrastive decoding.
+
+Capability parity with the reference ``magic_search`` +
+``PlugAndPlayContrastiveDecodingOneStepFast``
+(``/root/reference/gpt2_prefix_eval.py:341-534``): per step, take the top-k
+next tokens, probe each one step through the LM, and rank candidates by
+
+    score = (1 - alpha) * p(token)
+            - alpha * max-cosine(candidate hidden, context hiddens)
+            + beta  * log-softmax-over-candidates of CLAP(audio, text-so-far)
+
+where the CLAP term re-encodes each candidate's decoded text through the
+CLAP text tower (``compute_audio_text_similarity_via_raw_text``, :549).
+
+TPU-native structure: the LM probe step (top-k expand, cached batch step,
+degeneration penalty) is one jitted device function; only candidate-text
+decoding/tokenization and the CLAP text-tower batch run at the host
+boundary each step — the expensive parts stay on device, vs the reference's
+full Python loop. The ranking's ``prefix_length=1`` default (context from
+hidden state 0 onward) is kept as-is.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zs_aac_tpu.models.gpt2 import (
+    GPT2Config,
+    gpt2_embed,
+    gpt2_prefill,
+    gpt2_step,
+    init_kv_cache,
+)
+
+__all__ = ["magic_search", "make_magic_scorer", "clap_logprobs"]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _probe_step(params, cfg: GPT2Config, logits, cache, index, beam_width):
+    """Expand top-k candidates one step. Returns (top_ids [k], top_probs [k],
+    probe_logits [k, V], probe_cache, next_hidden [k, D])."""
+    probs = jax.nn.softmax(logits, axis=-1)  # [1, V]
+    top_probs, top_ids = jax.lax.top_k(probs[0], beam_width)
+    kcache = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (x.shape[0], beam_width, *x.shape[2:])), cache
+    )
+    emb = gpt2_embed(params, top_ids)
+    plogits, pcache, hidden = gpt2_step(params, cfg, emb, kcache, index, return_hidden=True)
+    return top_ids, top_probs, plogits, pcache, hidden
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _degeneration_penalty(context_hidden, next_hidden, context_len):
+    """max cosine of each candidate hidden vs valid context hiddens."""
+    ch = context_hidden / jnp.maximum(
+        jnp.linalg.norm(context_hidden, axis=-1, keepdims=True), 1e-12
+    )
+    nh = next_hidden / jnp.maximum(
+        jnp.linalg.norm(next_hidden, axis=-1, keepdims=True), 1e-12
+    )
+    cos = nh @ ch.T  # [k, T]
+    valid = jnp.arange(ch.shape[0]) < context_len
+    cos = jnp.where(valid[None, :], cos, -1e9)
+    return jnp.max(cos, axis=-1)  # [k]
+
+
+def clap_logprobs(audio_embed: np.ndarray, text_embeds: np.ndarray, temp: float) -> np.ndarray:
+    """log softmax over candidates of audio-text sims / temp
+    (``compute_audio_text_similarity_via_embeddings``, :536-546)."""
+    a = audio_embed / max(np.linalg.norm(audio_embed), 1e-12)
+    t = text_embeds / np.maximum(
+        np.linalg.norm(text_embeds, axis=-1, keepdims=True), 1e-12
+    )
+    logits = (t @ a) / temp  # [k]
+    logits = logits - logits.max()
+    return logits - np.log(np.exp(logits).sum())
+
+
+def make_magic_scorer(
+    clap_ckpt: Optional[str],
+    tokenizer,
+    encode_text_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
+    temp: float = 0.07,
+):
+    """Build fn(audio_embed [E], candidate_token_lists) -> [k] CLAP scores.
+
+    ``encode_text_fn`` maps raw strings to CLAP text embeddings; when a
+    checkpoint path is given, the ASE text tower is loaded (msgpack params
+    saved by this framework). Tests inject a fake encoder.
+    """
+    if encode_text_fn is None:
+        if clap_ckpt is None:
+            raise ValueError("MAGIC needs --clap_ckpt or an injected text encoder")
+        encode_text_fn = _load_ase_text_encoder(clap_ckpt)
+
+    def scorer(audio_embed: np.ndarray, candidate_ids: List[List[int]]) -> np.ndarray:
+        texts = [tokenizer.decode(ids) for ids in candidate_ids]
+        embs = np.asarray(encode_text_fn(texts))
+        return clap_logprobs(np.asarray(audio_embed).reshape(-1), embs, temp)
+
+    return scorer
+
+
+def _load_ase_text_encoder(path: str):
+    """Load an ASE checkpoint (this framework's msgpack format + a json
+    sidecar with the ASEConfig) and return a text-string encoder."""
+    import json
+    import os
+
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+    from zs_aac_tpu.utils.checkpoints import load_params
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    cfg = ASEConfig(**{k: v for k, v in meta["ase_config"].items()
+                       if k in ASEConfig.__dataclass_fields__})
+    ase = ASE(cfg)
+    import jax as _jax
+
+    variables = ase.init(
+        {"params": _jax.random.key(0)},
+        jnp.zeros((1, 64, 64)), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32), jnp.arange(1), train=False,
+    )
+    variables = load_params(path, variables)
+    from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer  # noqa: F401
+
+    bert_tok = meta.get("bert_tokenizer")
+    if bert_tok is None:
+        raise ValueError("ASE checkpoint sidecar must name its bert_tokenizer")
+    from zs_aac_tpu.data.bert_tokenizer import WordPieceTokenizer
+
+    wp = WordPieceTokenizer.from_file(bert_tok)
+
+    @_jax.jit
+    def enc(vv, ids, mask):
+        return ASE(cfg).apply(vv, ids, mask, train=False, method=ASE.encode_text)
+
+    def encode(texts: List[str]) -> np.ndarray:
+        ids, mask = wp.batch_encode(texts, max_length=30)
+        return np.asarray(enc(variables, jnp.asarray(ids), jnp.asarray(mask)))
+
+    return encode
+
+
+def magic_search(
+    gpt2_params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,       # [1, Lp, D]
+    audio_embed: np.ndarray,        # [E] CLAP audio embedding
+    score_fn,                       # from make_magic_scorer
+    beam_width: int = 25,
+    alpha: float = 0.1,
+    beta: float = 0.2,
+    decoding_len: int = 67,
+    stop_token_id: int = 13,
+) -> List[int]:
+    """Greedy MAGIC decode; returns the generated token ids."""
+    _, Lp, D = prefix_embeds.shape
+    T = Lp + decoding_len
+    cache = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
+    logits_seq, cache, hidden = gpt2_prefill(
+        gpt2_params, cfg, prefix_embeds, cache, return_hidden=True
+    )
+    logits = logits_seq[:, -1]
+    # context hiddens buffer [T, D] (ranking uses all of them, prefix incl.)
+    context = jnp.zeros((T, D), prefix_embeds.dtype).at[:Lp].set(hidden[0])
+    context_len = Lp
+
+    generated: List[int] = []
+    for step in range(decoding_len):
+        top_ids, top_probs, plogits, pcache, next_hidden = _probe_step(
+            gpt2_params, cfg, logits, cache, Lp + step, beam_width
+        )
+        deg = _degeneration_penalty(context, next_hidden, context_len)
+
+        cand_ids = [generated + [int(t)] for t in np.asarray(top_ids)]
+        clap_scores = score_fn(audio_embed, cand_ids)
+
+        scores = (
+            (1.0 - alpha) * np.asarray(top_probs)
+            - alpha * np.asarray(deg)
+            + beta * np.asarray(clap_scores)
+        )
+        sel = int(np.argmax(scores))
+        tok = int(np.asarray(top_ids)[sel])
+        generated.append(tok)
+
+        cache = jax.tree.map(lambda x: x[:, sel : sel + 1], pcache)
+        logits = plogits[sel : sel + 1]
+        context = context.at[context_len].set(next_hidden[sel])
+        context_len += 1
+        if tok == stop_token_id:
+            break
+    return generated

@@ -141,11 +141,13 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32):
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def gpt2_prefill(params, cfg: GPT2Config, inputs_embeds, cache):
+def gpt2_prefill(params, cfg: GPT2Config, inputs_embeds, cache, return_hidden=False):
     """Run the prompt through the model, filling cache[:, :, :, :L].
 
-    Returns (logits [B, L, vocab], cache). Decode-time semantics: causal
-    mask only (reference passes no padding mask at inference).
+    Returns (logits [B, L, vocab], cache) — plus the post-ln_f hidden states
+    [B, L, D] when ``return_hidden`` (MAGIC's degeneration penalty needs
+    them). Decode-time semantics: causal mask only (reference passes no
+    attention mask at inference).
     """
     B, L, D = inputs_embeds.shape
     x = inputs_embeds + params["wpe"][jnp.arange(L)][None]
@@ -166,14 +168,17 @@ def gpt2_prefill(params, cfg: GPT2Config, inputs_embeds, cache):
         "k": jnp.stack([jnp.pad(k, pad) for k in ks]).astype(cache["k"].dtype),
         "v": jnp.stack([jnp.pad(v, pad) for v in vs]).astype(cache["v"].dtype),
     }
+    if return_hidden:
+        return logits, cache, x
     return logits, cache
 
 
-def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index):
+def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=False):
     """One cached decode step.
 
     ``x_embed``: [B, D] embedding of the token at position ``index`` (traced
-    scalar). Returns (logits [B, vocab], updated cache).
+    scalar). Returns (logits [B, vocab], updated cache), plus the post-ln_f
+    hidden state [B, D] when ``return_hidden``.
     """
     B, D = x_embed.shape
     x = (x_embed + params["wpe"][index])[:, None]  # [B, 1, D]
@@ -208,6 +213,8 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index):
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
     logits = (x @ params["wte"].T)[:, 0]
     cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    if return_hidden:
+        return logits, cache, x[:, 0]
     return logits, cache
 
 

@@ -1,0 +1,178 @@
+"""Captioner inference/eval driver (CLI).
+
+Capability parity with ``/root/reference/predict_prompt.py``: rehydrates the
+run-dir ``params.json`` merged over CLI flags (``:194-197``), loads
+``best.pth``, decodes the test bank (``--isbeam`` beam-3 / greedy /
+``--magic`` CLAP-guided), interprets prefix slots as nearest vocab tokens
+(``gpt2_prefix_eval.py:271``), writes ``scores.txt`` (BLEU-1..4, ROUGE_L,
+CIDEr, METEOR/SPICE when the Java stack exists, SPIDEr) and ``output.txt``
+(filename/caption/prefix records).
+
+Run: ``python -m zs_aac_tpu.train.predict_prompt --test_dir RUN --data test.pkl``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+__all__ = ["build_parser", "main", "get_prefix_tokens"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test_dir", required=True, help="run dir with params.json/best.pth")
+    p.add_argument("--data", required=True, help="test embedding bank (.pkl)")
+    p.add_argument("--sound_effect", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--isbeam", action="store_true")
+    p.add_argument("--beam_size", type=int, default=3)
+    p.add_argument("--magic", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--beta", type=float, default=0.2)
+    p.add_argument("--magic_width", type=int, default=25)
+    p.add_argument("--clap_ckpt", default=None, help="ASE checkpoint for MAGIC")
+    p.add_argument("--batch", type=int, default=32, help="greedy decode batch size")
+    return p
+
+
+def get_prefix_tokens(prefix_embeds, wte, tokenizer):
+    """Interpret each prefix slot as its nearest vocab token
+    (``gpt2_prefix_eval.py:271-279``)."""
+    w = wte / np.maximum(np.linalg.norm(wte, axis=-1, keepdims=True), 1e-12)
+    p = prefix_embeds / np.maximum(
+        np.linalg.norm(prefix_embeds, axis=-1, keepdims=True), 1e-12
+    )
+    ids = np.argmax(p @ w.T, axis=-1)
+    return tokenizer.decode(list(ids))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.data.datasets import CaptionBankTestDataset, CaptionDatasetConfig
+    from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer, WordTokenizer
+    from zs_aac_tpu.decoding.beam import beam_search
+    from zs_aac_tpu.decoding.greedy import greedy_decode
+    from zs_aac_tpu.eval.captioning import eval_prediction
+    from zs_aac_tpu.models.caption import (
+        CaptionConfig,
+        caption_embeddings,
+        init_caption_model,
+    )
+    from zs_aac_tpu.models.gpt2 import GPT2Config
+    from zs_aac_tpu.utils.checkpoints import load_params
+    import jax
+
+    # params.json rehydration (predict_prompt.py:194-197)
+    with open(os.path.join(args.test_dir, "params.json")) as f:
+        saved = json.load(f)
+
+    from zs_aac_tpu.train.train_prompt import _gpt2_config, _make_tokenizer
+
+    tok_dir = args.tokenizer or saved.get("tokenizer")
+    if tok_dir:
+        tokenizer = GPT2BPETokenizer.from_dir(tok_dir)
+        stop_id = tokenizer.encode(".")[0]
+    else:
+        # rebuild the word tokenizer from the training banks recorded in params
+        class _A:
+            tokenizer = None
+        _a = _A()
+        tokenizer, stop_id = _make_tokenizer(_a, saved["data"])
+
+    dcfg = CaptionDatasetConfig(
+        prefix_length=saved["prefix_length"],
+        normalize_prefix=saved.get("normalize_prefix", False),
+        sound_effect_path=args.sound_effect or saved.get("sound_effect"),
+        sound_effect_k=3,
+    )
+    ds = CaptionBankTestDataset(args.data, tokenizer, dcfg)
+    key2refs = ds.references()
+
+    prefix_dim = 1024 if saved.get("is_rn") else 512
+    ccfg = CaptionConfig(
+        prefix_length=saved["prefix_length"],
+        prefix_size=prefix_dim,
+        clip_length=saved.get("prefix_length_clip", saved["prefix_length"]),
+        num_layers=saved.get("num_layers", 8),
+        mapping_type=saved.get("mapping_type", "mlp"),
+        only_soft_prompt=saved.get("only_soft_prompt", False),
+        gpt2=_gpt2_config(saved.get("gpt2_size", "base"),
+                          saved.get("gpt2_vocab_size", tokenizer.vocab_size)),
+    )
+    params = init_caption_model(jax.random.key(0), ccfg)
+    params = load_params(os.path.join(args.test_dir, "best.pth"), params)
+    wte = np.asarray(params["gpt2"]["wte"])
+
+    magic_score_fn = None
+    if args.magic:
+        from zs_aac_tpu.decoding.magic import make_magic_scorer
+
+        magic_score_fn = make_magic_scorer(args.clap_ckpt, tokenizer)
+
+    key2pred, key2prefix = {}, {}
+    items = [ds[i] for i in range(len(ds))]
+    for it in items:
+        prefix = jnp.asarray(it["prefix"])[None]
+        hp = jnp.asarray(it["hard_prompt"])[None] if "hard_prompt" in it else None
+        emb = caption_embeddings(params, ccfg, prefix, hp)
+        key2prefix[it["audio_id"]] = [
+            get_prefix_tokens(
+                np.asarray(emb[0, -ccfg.prefix_length:]), wte, tokenizer
+            )
+        ]
+        if args.magic:
+            from zs_aac_tpu.decoding.magic import magic_search
+
+            ids = magic_search(
+                params["gpt2"], ccfg.gpt2, emb, it["prefix"], magic_score_fn,
+                beam_width=args.magic_width, alpha=args.alpha, beta=args.beta,
+                stop_token_id=stop_id,
+            )
+            text = tokenizer.decode(ids)
+        elif args.isbeam:
+            toks, lens, scores = beam_search(
+                params["gpt2"], ccfg.gpt2, emb, args.beam_size, 67, stop_id
+            )
+            b = int(np.argmax(np.asarray(scores)))
+            text = tokenizer.decode(list(np.asarray(toks[b][: int(lens[b])])))
+        else:
+            toks, lens = greedy_decode(params["gpt2"], ccfg.gpt2, emb, 67, stop_id, 764)
+            text = tokenizer.decode(list(np.asarray(toks[0][: int(lens[0])])))
+        key2pred[it["audio_id"]] = [text.lower()]
+
+    scores = eval_prediction(key2refs, key2pred)
+
+    # scores.txt contract (predict_prompt.py:162-173)
+    with open(os.path.join(args.test_dir, "scores.txt"), "w") as f:
+        for n in range(4):
+            f.write("Bleu-{}: {:6.4f}\n".format(n + 1, scores["Bleu"][n]))
+        f.write("ROUGE_L: {:6.4f}\n".format(scores["ROUGE_L"]))
+        f.write("CIDEr: {:6.4f}\n".format(scores["CIDEr"]))
+        if scores["METEOR"] is not None:
+            f.write("METEOR: {:6.4f}\n".format(scores["METEOR"]))
+        if scores["SPICE"] is not None:
+            f.write("SPICE: {:6.4f}\n".format(scores["SPICE"]))
+        f.write("SPIDEr: {:6.4f}\n".format(scores["SPIDEr"]))
+        if scores.get("SPIDEr_approx"):
+            f.write("# SPIDEr approximated as CIDEr/2 (no Java SPICE stack)\n")
+
+    pred_data = [
+        {"filename": k, "caption": "".join(v[0]), "prefix": "".join(key2prefix[k][0])}
+        for k, v in key2pred.items()
+    ]
+    with open(os.path.join(args.test_dir, "output.txt"), "w") as f:
+        json.dump({"predictions": pred_data}, f, indent=2, ensure_ascii=False)
+
+    print(json.dumps({k: v for k, v in scores.items() if k != "Bleu"}, default=float))
+    return scores
+
+
+if __name__ == "__main__":
+    main()

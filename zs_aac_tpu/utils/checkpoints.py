@@ -1,0 +1,71 @@
+"""Checkpointing with the reference's best/last/resume semantics.
+
+The reference uses ``torch.save`` state_dicts: captioner ``best.pth`` on
+CIDEr improvement + ``last.pth`` per epoch (``train_prompt.py:167-177``);
+retrieval saves {model, optimizer, config, epoch} and resumes all three
+(``retrieval/pretrain.py:144-150,193-230``). Here:
+
+- model-only snapshots -> single msgpack files via flax.serialization
+  (the ``best.pth`` analog, fast and file-shaped),
+- full train-state (params + optimizer + step) -> Orbax checkpoint dirs
+  for resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+from flax import serialization
+
+__all__ = [
+    "save_params",
+    "load_params",
+    "save_train_state",
+    "restore_train_state",
+    "criterion_improver",
+]
+
+
+def save_params(path: str, params: Any) -> None:
+    """Single-file msgpack snapshot (the best.pth/last.pth analog)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+
+def load_params(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_train_state(path: str, state: Any) -> None:
+    """Orbax full-state checkpoint (resume semantics)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=template)
+
+
+def criterion_improver(mode: str):
+    """Closure tracking best value (``utils.py:33-47``)."""
+    assert mode in ("loss", "acc", "score")
+    best = float("inf") if mode == "loss" else 0.0
+
+    def inner(x: float) -> bool:
+        nonlocal best
+        better = x < best if mode == "loss" else x > best
+        if better:
+            best = x
+        return better
+
+    return inner
