@@ -1,0 +1,140 @@
+"""End-to-end retrieval pipeline smoke: synthetic wavs + manifests ->
+pretrain CLI (2 steps) -> checkpoints -> finetune warm start."""
+
+import json
+import os
+import wave as wavemod
+
+import numpy as np
+import pytest
+import yaml
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "dog", "bark", "##s", "rain",
+         "fall", "##ing", "wind", "blow", "bird", "sing", "car", "horn", "the",
+         "in", "park", "sound", "of", ".", ","]
+WORDS = ["dog", "rain", "wind", "bird", "car", "park", "sound"]
+
+
+def _write_wav(path, seconds, sr=32000, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(int(seconds * sr)) * 0.05).astype(np.float32)
+    with wavemod.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+
+
+def _mk_corpus(root, n_audio=12, n_cap=5):
+    os.makedirs(f"{root}/Toy/json_files", exist_ok=True)
+    os.makedirs(f"{root}/wavs", exist_ok=True)
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(n_audio):
+        dur = float(rng.uniform(2, 8))
+        p = f"{root}/wavs/a{i}.wav"
+        _write_wav(p, dur, seed=i)
+        item = {"audio": p, "duration": dur, "id": i}
+        for c in range(1, n_cap + 1):
+            ws = [WORDS[int(x) % len(WORDS)] for x in rng.integers(0, 7, 5)]
+            item[f"caption_{c}"] = " ".join(ws) + "."
+        items.append(item)
+    for split in ("train", "val", "test"):
+        with open(f"{root}/Toy/json_files/{split}.json", "w") as f:
+            json.dump({"num_captions_per_audio": n_cap, "data": items}, f)
+    # single-caption pretrain manifest
+    single = [{"audio": it["audio"], "caption": it["caption_1"], "id": i,
+               "duration": it["duration"]} for i, it in enumerate(items)]
+    with open(f"{root}/pretrain.json", "w") as f:
+        json.dump({"num_captions_per_audio": 1, "data": single}, f)
+    vp = f"{root}/vocab.txt"
+    with open(vp, "w") as f:
+        f.write("\n".join(VOCAB) + "\n")
+    return vp
+
+
+def _mk_config(root, vocab, **overrides):
+    cfg = {
+        "exp_name": "smoke",
+        "seed": 20,
+        "embed_size": 16,
+        "temp": 0.07,
+        "embed_regularization": True,
+        "json_files": [f"{root}/pretrain.json"],
+        "blacklist": None,
+        "resume": False,
+        "val_datasets": ["Toy"],
+        "data_root": root,
+        "output_dir": f"{root}/outputs",
+        "audio_channels": [4, 8],
+        "audio_args": {"sr": 32000, "n_fft": 1024, "hop_length": 320,
+                       "f_min": 50, "f_max": 14000, "n_mels": 64,
+                       "max_length": 5, "mono": True},
+        "audio_encoder_args": {"type": "cnn", "model": "Cnn14",
+                               "pretrained": False, "freeze": False},
+        "data_args": {"batch_size": 4, "num_workers": 0},
+        "text_encoder_args": {"type": "prajjwal1/bert-tiny", "vocab": vocab},
+        "optim_args": {"lr": 5e-4, "scheduler": "cosine",
+                       "optimizer_name": "adam", "betas": [0.9, 0.999],
+                       "eps": 1e-8, "momentum": 0.9, "warmup_epochs": 0,
+                       "weight_decay": 0.0},
+        "training": {"spec_augmentation": True, "epochs": 1, "clip_grad": 2,
+                     "dropout": 0.2},
+    }
+    cfg.update(overrides)
+    path = f"{root}/config.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def test_manifest_loading_and_blacklist(tmp_path):
+    root = str(tmp_path)
+    _mk_corpus(root, n_audio=4)
+    from zs_aac_tpu.data.retrieval_data import load_manifest_files
+
+    data = load_manifest_files([f"{root}/Toy/json_files/train.json"])
+    assert len(data) == 4 * 5
+    assert data[0]["id"] == data[4]["id"]      # 5 captions share an audio id
+    assert data[5]["id"] == data[0]["id"] + 1  # next audio gets the next id
+    # blacklist filters FreeSound ids
+    bl = {"FreeSound": [0, 1], "AudioSet": []}
+    blp = f"{root}/bl.json"
+    with open(blp, "w") as f:
+        json.dump(bl, f)
+    import shutil
+
+    os.makedirs(f"{root}/FreeSound_x", exist_ok=True)
+    fs_manifest = f"{root}/FreeSound_x/m.json"
+    shutil.copy(f"{root}/pretrain.json", fs_manifest)
+    data2 = load_manifest_files([fs_manifest], blp)
+    assert len(data2) == 2  # ids 0,1 dropped of 4
+
+
+def test_pretrain_and_finetune_cli_smoke(tmp_path):
+    root = str(tmp_path)
+    vocab = _mk_corpus(root)
+    cfg_path = _mk_config(root, vocab)
+
+    from zs_aac_tpu.train.pretrain import main as pretrain_main
+
+    ckpt_dir = pretrain_main(["-c", cfg_path, "--max_steps", "2",
+                              "--max_val_batches", "2"])
+    assert os.path.exists(os.path.join(ckpt_dir, "best_model.ckpt"))
+    log = open(glob_one(f"{root}/outputs", "output.log")).read()
+    assert "t2a" in log and "r1" in log
+
+    from zs_aac_tpu.train.finetune import main as finetune_main
+
+    ck2 = finetune_main([
+        "-c", cfg_path, "-d", "Toy", "--max_steps", "1", "--max_val_batches", "2",
+        "--pretrain_path", os.path.join(ckpt_dir, "best_model.ckpt"),
+    ])
+    assert os.path.exists(os.path.join(ck2, "best_model.ckpt"))
+
+
+def glob_one(root, name):
+    for dirpath, _, files in os.walk(root):
+        if name in files:
+            return os.path.join(dirpath, name)
+    raise FileNotFoundError(name)

@@ -39,6 +39,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
+    """1-D data mesh using the most devices that evenly divide the batch."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, axis)
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-dim sharding for input arrays."""
     return NamedSharding(mesh, P(axis))

@@ -1,0 +1,127 @@
+"""Retrieval finetuning driver (CLI).
+
+Capability parity with ``/root/reference/retrieval/train.py``: the pretrain
+loop run on a single caption dataset (AudioCaps or Clotho), warm-started
+from a pretraining checkpoint (``train.py:151-155``), with the same
+validation/checkpoint semantics (imports ``validate`` from pretrain, as the
+reference does).
+
+Run: ``python -m zs_aac_tpu.train.finetune -c configs/train.yaml -d Clotho``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from zs_aac_tpu.train.pretrain import build_ase_from_config, validate
+
+__all__ = ["main"]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-d", "--dataset", default="Clotho")
+    p.add_argument("-l", "--lr", type=float, default=None)
+    p.add_argument("--pretrain_path", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--max_val_batches", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import yaml
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+    if args.lr:
+        config["optim_args"]["lr"] = args.lr
+    if args.epochs:
+        config["training"]["epochs"] = args.epochs
+
+    import jax
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.data.bert_tokenizer import WordPieceTokenizer
+    from zs_aac_tpu.data.retrieval_data import AudioCaptionDataModule
+    from zs_aac_tpu.ops.logmel import LogMelConfig
+    from zs_aac_tpu.parallel.mesh import is_main_process, make_mesh_for_batch, replicate, shard_batch
+    from zs_aac_tpu.train.contrastive import (
+        create_ase_state,
+        make_ase_train_step,
+        make_encode_fns,
+    )
+    from zs_aac_tpu.train.optim import cosine_lr, get_optimizer
+    from zs_aac_tpu.utils.checkpoints import restore_model_only, save_train_state
+    from zs_aac_tpu.utils.logging_utils import AverageMeter, log_results, set_logger, setup_seed
+
+    seed = config.get("seed", 20)
+    setup_seed(seed)
+    exp_dir = f"finetune_{args.dataset}_lr_{config['optim_args']['lr']}_seed_{seed}"
+    logger = set_logger(exp_dir, config.get("output_dir", "outputs"))
+
+    tokenizer = WordPieceTokenizer.from_file(config["text_encoder_args"]["vocab"])
+    ase, _ = build_ase_from_config(config)
+    mel_cfg = LogMelConfig.from_dict(config["audio_args"])
+    dm = AudioCaptionDataModule(config, args.dataset, tokenizer,
+                                config.get("data_root", "data"))
+
+    steps_per_epoch = max(len(dm.train_set) // dm.batch_size, 1)
+    epochs = config["training"]["epochs"]
+    schedule = cosine_lr(
+        config["optim_args"]["lr"],
+        config["training"].get("warmup_epochs", 2) * steps_per_epoch,
+        epochs * steps_per_epoch,
+    )
+    optimizer = get_optimizer(schedule, config["optim_args"].get("optimizer_name", "adamw"))
+    state = create_ase_state(
+        jax.random.key(seed), ase, optimizer,
+        spec_shape=(2, 101, mel_cfg.n_mels), text_len=30,
+    )
+    pretrain_path = args.pretrain_path or config.get("pretrain_path")
+    if pretrain_path:
+        state = restore_model_only(pretrain_path, state)
+        logger.info("warm start from %s", pretrain_path)
+
+    mesh = make_mesh_for_batch(dm.batch_size)
+    state = replicate(state, mesh)
+    train_step = make_ase_train_step(ase, optimizer, mel_cfg)
+    encode_audio, encode_text = make_encode_fns(ase, mel_cfg)
+
+    ckpt_dir = os.path.join(config.get("output_dir", "outputs"), exp_dir, "models")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    rng = jax.random.key(seed + 1)
+    best_recall = -1.0
+    it = 0
+    for epoch in range(epochs):
+        t0 = time.time()
+        meter = AverageMeter()
+        for batch in dm.train_batches(seed + epoch):
+            batch = {k: v for k, v in batch.items() if k != "text"}
+            state, loss = train_step(state, shard_batch(batch, mesh), rng)
+            meter.update(float(loss))
+            it += 1
+            if args.max_steps and it >= args.max_steps:
+                break
+        logger.info("epoch %d: loss %.4f, %.1fs", epoch, meter.avg, time.time() - t0)
+        if is_main_process():
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            m_t2a, m_a2t = validate(encode_audio, encode_text, variables,
+                                    dm.val_batches(), args.max_val_batches)
+            log_results(logger, m_t2a, args.dataset, "t2a", epoch)
+            log_results(logger, m_a2t, args.dataset, "a2t", epoch)
+            rsum = m_t2a["r1"] + m_t2a["r5"] + m_t2a["r10"]
+            if rsum > best_recall:
+                best_recall = rsum
+                save_train_state(os.path.join(ckpt_dir, "best_model.ckpt"), state)
+        if args.max_steps and it >= args.max_steps:
+            break
+    print(f"done: {ckpt_dir}", flush=True)
+    return ckpt_dir
+
+
+if __name__ == "__main__":
+    main()

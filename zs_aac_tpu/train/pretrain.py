@@ -1,0 +1,269 @@
+"""CLAP contrastive pretraining driver (CLI).
+
+Capability parity with ``/root/reference/retrieval/pretrain.py``: YAML
+config + CLI overrides, duration-bucketed batches, per-step cosine LR with
+warmup, the ATC loss with multi-positive targets, per-epoch validation
+recalls on the val caption sets, ``best_model.pt`` on min train loss plus
+per-dataset best-by-recall-sum checkpoints, resume, and a final test-set
+evaluation. The reference's declared-but-never-applied ``clip_grad``
+(SURVEY.md §8.6) is actually applied here when set.
+
+TPU adaptations: the train step is jitted with data-parallel sharding over
+a 1-D mesh (the reference's DDP), bucketed batches pad to static per-bucket
+shapes, text is tokenized on host with the WordPiece tokenizer.
+
+Run: ``python -m zs_aac_tpu.train.pretrain -c configs/pretrain.yaml``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+__all__ = ["main", "validate", "build_ase_from_config"]
+
+
+def build_ase_from_config(config: dict):
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+
+    enc_args = config.get("audio_encoder_args", {})
+    if enc_args.get("type", "cnn") == "transformer":
+        encoder = "htsat"
+    else:
+        encoder = "cnn14" if enc_args.get("model", "Cnn14") == "Cnn14" else "resnet38"
+    cfg = ASEConfig(
+        embed_size=config.get("embed_size", 1024),
+        temp=config.get("temp", 0.07),
+        embed_regularization=config.get("embed_regularization", True),
+        audio_encoder=encoder,
+        text_model=config.get("text_encoder_args", {}).get("type",
+                                                           "bert-base-uncased"),
+        spec_augmentation=config.get("training", {}).get("spec_augmentation", True),
+        audio_channels=tuple(config["audio_channels"]) if config.get("audio_channels")
+        else None,
+    )
+    return ASE(cfg), cfg
+
+
+def validate(encode_audio, encode_text, variables, datamodule, max_batches=None):
+    """Encode a val/test set and compute t2a/a2t recalls
+    (pretrain.py:262-284)."""
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.eval.retrieval import a2t, t2a
+
+    audio_embs, text_embs = [], []
+    for i, batch in enumerate(datamodule):
+        if max_batches and i >= max_batches:
+            break
+        audio_embs.append(np.asarray(encode_audio(variables, jnp.asarray(batch["wave"]))))
+        text_embs.append(
+            np.asarray(
+                encode_text(
+                    variables,
+                    jnp.asarray(batch["input_ids"]),
+                    jnp.asarray(batch["attention_mask"]),
+                )
+            )
+        )
+    audio = np.concatenate(audio_embs)
+    text = np.concatenate(text_embs)
+    n = (audio.shape[0] // 5) * 5
+    if n == 0:
+        zero = {k: 0.0 for k in ("r1", "r5", "r10", "r50", "medr", "meanr", "mAP10")}
+        return dict(zero), dict(zero)
+    return t2a(audio[:n], text[:n]), a2t(audio[:n], text[:n])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-l", "--lr", type=float, default=None)
+    p.add_argument("-t", "--model_type", default=None)
+    p.add_argument("-m", "--model", default=None)
+    p.add_argument("-a", "--max_length", type=int, default=None)
+    p.add_argument("-s", "--batch_size", type=int, default=None)
+    p.add_argument("-b", "--blacklist", default=None)
+    p.add_argument("-d", "--dataset", default=None,
+                   help="finetune on a single dataset (retrieval/train.py)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume_ckpt", default=None)
+    p.add_argument("--max_steps", type=int, default=None, help="debug cap")
+    p.add_argument("--max_val_batches", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import yaml
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+    # CLI overrides (pretrain.py:91-99)
+    if args.lr:
+        config["optim_args"]["lr"] = args.lr
+    if args.model_type:
+        config["audio_encoder_args"]["type"] = args.model_type
+    if args.model:
+        config["audio_encoder_args"]["model"] = args.model
+    if args.max_length:
+        config["audio_args"]["max_length"] = args.max_length
+    if args.batch_size:
+        config["data_args"]["batch_size"] = args.batch_size
+    if args.blacklist:
+        config["blacklist"] = args.blacklist
+    if args.epochs:
+        config["training"]["epochs"] = args.epochs
+    if args.seed is not None:
+        config["seed"] = args.seed
+
+    import jax
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.data.bert_tokenizer import WordPieceTokenizer
+    from zs_aac_tpu.data.retrieval_data import (
+        AudioCaptionDataModule,
+        AudioLanguagePretrainDataset,
+        pretrain_batches,
+    )
+    from zs_aac_tpu.ops.logmel import LogMelConfig
+    from zs_aac_tpu.parallel.mesh import is_main_process, make_mesh_for_batch, replicate, shard_batch
+    from zs_aac_tpu.train.contrastive import (
+        create_ase_state,
+        make_ase_train_step,
+        make_encode_fns,
+    )
+    from zs_aac_tpu.train.optim import cosine_lr, get_optimizer, step_lr
+    from zs_aac_tpu.utils.checkpoints import restore_train_state, save_train_state
+    from zs_aac_tpu.utils.logging_utils import (
+        AverageMeter,
+        log_results,
+        maybe_wandb,
+        set_logger,
+        setup_seed,
+    )
+
+    seed = config.get("seed", 20) + jax.process_index()
+    setup_seed(seed)
+
+    exp_name = config.get("exp_name", "pretrain")
+    model_name = config["audio_encoder_args"].get("model", "Cnn14")
+    lr = config["optim_args"]["lr"]
+    exp_dir = f"{exp_name}_{model_name}_lr_{lr}_seed_{config.get('seed', 20)}"
+    logger = set_logger(exp_dir, config.get("output_dir", "outputs"))
+    wandb = maybe_wandb()
+    run = wandb.init(project=exp_name, config=config) if wandb else None
+
+    tokenizer = WordPieceTokenizer.from_file(config["text_encoder_args"]["vocab"])
+    ase, ase_cfg = build_ase_from_config(config)
+    mel_cfg = LogMelConfig.from_dict(config["audio_args"])
+
+    dataset = AudioLanguagePretrainDataset(
+        config["json_files"], config["audio_args"], config.get("blacklist"), seed
+    )
+    steps_per_epoch = max(len(dataset) // config["data_args"]["batch_size"], 1)
+    epochs = config["training"]["epochs"]
+    sched_name = config.get("optim_args", {}).get("scheduler", "cosine")
+    warmup = config["training"].get("warmup_epochs", 2) * steps_per_epoch
+    if sched_name == "cosine":
+        schedule = cosine_lr(lr, warmup, epochs * steps_per_epoch)
+    else:
+        schedule = step_lr(lr, warmup, steps_per_epoch * 10, 0.1)
+    optimizer = get_optimizer(
+        schedule,
+        config["optim_args"].get("optimizer_name", "adamw"),
+        tuple(config["optim_args"].get("betas", (0.9, 0.999))),
+        config["optim_args"].get("eps", 1e-8),
+        config["optim_args"].get("momentum", 0.9),
+        config["optim_args"].get("weight_decay", 0.0),
+    )
+    clip = config["training"].get("clip_grad")
+    if clip:
+        import optax
+
+        optimizer = optax.chain(optax.clip_by_global_norm(float(clip)), optimizer)
+
+    state = create_ase_state(
+        jax.random.key(seed), ase, optimizer,
+        spec_shape=(2, 101, mel_cfg.n_mels), text_len=30,
+    )
+    start_epoch = 0
+    ckpt_dir = os.path.join(config.get("output_dir", "outputs"), exp_dir, "models")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    if config.get("resume") and args.resume_ckpt:
+        state = restore_train_state(args.resume_ckpt, state)
+        start_epoch = int(state.step) // steps_per_epoch
+
+    mesh = make_mesh_for_batch(config["data_args"]["batch_size"])
+    state = replicate(state, mesh)
+    train_step = make_ase_train_step(ase, optimizer, mel_cfg)
+    encode_audio, encode_text = make_encode_fns(ase, mel_cfg)
+
+    val_modules = {}
+    for ds_name in config.get("val_datasets", []):
+        val_modules[ds_name] = AudioCaptionDataModule(
+            config, ds_name, tokenizer, config.get("data_root", "data")
+        )
+
+    rng = jax.random.key(seed + 1)
+    best_loss = float("inf")
+    best_recall = {k: -1.0 for k in val_modules}
+    it = 0
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        meter = AverageMeter()
+        for batch in pretrain_batches(
+            dataset, tokenizer, config["data_args"]["batch_size"],
+            seed=config.get("seed", 20) + epoch,
+        ):
+            batch = {k: v for k, v in batch.items() if k != "text"}
+            batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch, rng)
+            meter.update(float(loss))
+            it += 1
+            if args.max_steps and it >= args.max_steps:
+                break
+        logger.info(
+            "epoch %d: loss %.4f, time %.1fs", epoch, meter.avg, time.time() - t0
+        )
+        if run:
+            run.log({"loss": meter.avg, "epoch": epoch})
+
+        if is_main_process():
+            if meter.avg < best_loss:
+                best_loss = meter.avg
+                save_train_state(os.path.join(ckpt_dir, "best_model.ckpt"), state)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            for ds_name, dm in val_modules.items():
+                m_t2a, m_a2t = validate(
+                    encode_audio, encode_text, variables, dm.val_batches(),
+                    args.max_val_batches,
+                )
+                log_results(logger, m_t2a, ds_name, "t2a", epoch, run)
+                log_results(logger, m_a2t, ds_name, "a2t", epoch, run)
+                rsum = m_t2a["r1"] + m_t2a["r5"] + m_t2a["r10"]
+                if rsum > best_recall[ds_name]:
+                    best_recall[ds_name] = rsum
+                    save_train_state(
+                        os.path.join(ckpt_dir, f"{ds_name}_best_model.ckpt"), state
+                    )
+        if args.max_steps and it >= args.max_steps:
+            break
+
+    # final test eval (pretrain.py:232-255)
+    if is_main_process():
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        for ds_name, dm in val_modules.items():
+            m_t2a, m_a2t = validate(
+                encode_audio, encode_text, variables, dm.test_batches(),
+                args.max_val_batches,
+            )
+            log_results(logger, m_t2a, f"{ds_name}-test", "t2a", epochs, run)
+            log_results(logger, m_a2t, f"{ds_name}-test", "a2t", epochs, run)
+    print(f"done: {ckpt_dir}", flush=True)
+    return ckpt_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -40,20 +40,57 @@ def load_params(path: str, template: Any) -> Any:
         return serialization.from_bytes(template, f.read())
 
 
+def _state_payload(state: Any) -> Any:
+    if hasattr(state, "params"):
+        payload = {"params": state.params, "step": state.step}
+        for opt_field in ("batch_stats", "opt_state"):
+            if hasattr(state, opt_field):
+                payload[opt_field] = getattr(state, opt_field)
+        return payload
+    return state
+
+
 def save_train_state(path: str, state: Any) -> None:
-    """Orbax full-state checkpoint (resume semantics)."""
+    """Orbax full-state checkpoint (resume semantics). Train-state objects
+    are stored as a named dict so partial (model-only) restores work."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), jax.device_get(state), force=True)
+    ckptr.save(os.path.abspath(path), jax.device_get(_state_payload(state)), force=True)
     ckptr.wait_until_finished()
 
 
 def restore_train_state(path: str, template: Any) -> Any:
+    """Full resume: params + optimizer + step."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target=template)
+    payload = ckptr.restore(os.path.abspath(path), target=_state_payload(template))
+    if hasattr(template, "params"):
+        import dataclasses
+
+        return dataclasses.replace(template, **payload)
+    return payload
+
+
+def restore_model_only(path: str, template: Any) -> Any:
+    """Warm start: restore only params (+ batch_stats), keep the fresh
+    optimizer — the reference's ``pretrain_path`` load semantics
+    (``retrieval/train.py:151-155``)."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+    from orbax.checkpoint import checkpoint_utils  # noqa: F401
+
+    want = {"params": template.params}
+    if hasattr(template, "batch_stats"):
+        want["batch_stats"] = template.batch_stats
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(item=want, partial_restore=True),
+    )
+    return dataclasses.replace(template, **restored)
 
 
 def criterion_improver(mode: str):
