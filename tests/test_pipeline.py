@@ -1,0 +1,190 @@
+"""Offline pipeline tests: extraction, kNN augmentation, prepare, synthesis."""
+
+import json
+import os
+import pickle
+import wave as wavemod
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zs_aac_tpu.data.banks import read_bank, write_bank_list
+from zs_aac_tpu.pipeline.extract import extract_audio_text_bank, extract_text_bank
+from zs_aac_tpu.pipeline.related import attach_related, load_unique_text_embeddings
+from zs_aac_tpu.pipeline.synthesize import (
+    select_diverse_examples,
+    synthesize_captions,
+    translate_records,
+    vocabulary_filter,
+)
+
+
+def _fake_encoders(e=8):
+    def encode_audio(waves):
+        # deterministic per-row embedding from the wave content
+        return np.stack([np.linspace(w.sum(), w.std() + 1, e) for w in waves]).astype(
+            np.float32
+        )
+
+    def encode_text(texts):
+        out = []
+        for t in texts:
+            r = np.random.default_rng(abs(hash(t)) % 2**31)
+            out.append(r.standard_normal(e).astype(np.float32))
+        return np.stack(out)
+
+    return encode_audio, encode_text
+
+
+def _mk_manifest_dir(root, n=5):
+    os.makedirs(root, exist_ok=True)
+    rows = []
+    audios = []
+    for i in range(n):
+        p = os.path.join(root, f"a{i}.wav")
+        with wavemod.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(32000)
+            x = np.random.default_rng(i).standard_normal(16000) * 0.1
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        rows.append({"audio_id": f"id{i}", "file_name": p})
+        audios.append(
+            {"audio_id": f"id{i}",
+             "captions": [{"caption": f"sound {i} a", "cap_id": "1"},
+                          {"caption": f"sound {i} b", "cap_id": "2"}]}
+        )
+    pd.DataFrame(rows).to_csv(os.path.join(root, "wav.csv"), index=False, sep="\t")
+    json.dump({"audios": audios}, open(os.path.join(root, "text.json"), "w"))
+
+
+def test_extract_audio_text_bank(tmp_path):
+    root = str(tmp_path / "train")
+    _mk_manifest_dir(root)
+    ea, et = _fake_encoders()
+    audio_cfg = {"sr": 32000, "max_length": 1}
+    recs = extract_audio_text_bank(ea, et, root, True, audio_cfg, batch_size=2)
+    assert len(recs) == 5 * 2  # 2 captions per audio
+    assert recs[0]["audio_embedding"].shape == (1, 8)
+    assert recs[0]["text_embedding"].shape == (1, 8)
+    # test split: captions kept as list, no text embedding
+    recs_t = extract_audio_text_bank(ea, et, root, False, audio_cfg, batch_size=3)
+    assert len(recs_t) == 5
+    assert isinstance(recs_t[0]["caption"], list)
+    assert recs_t[0]["text_embedding"] == 0
+
+
+def test_extract_text_corpora(tmp_path):
+    _, et = _fake_encoders()
+    # wavcaps json, 5-captions
+    m = {"num_captions_per_audio": 5,
+         "data": [{f"caption_{j}": f"cap {i} {j}" for j in range(1, 6)}
+                  for i in range(3)]}
+    p = str(tmp_path / "m.json")
+    json.dump(m, open(p, "w"))
+    recs = extract_text_bank(et, "wavcaps_json", p)
+    assert len(recs) == 15 and "text_embedding" in recs[0]
+
+    # msd with sentence filter
+    mp = str(tmp_path / "msd.pkl")
+    with open(mp, "wb") as f:
+        pickle.dump([{"caption": "one two three four five six. too short"}], f)
+    recs = extract_text_bank(et, "msd", mp)
+    assert len(recs) == 1  # second sentence filtered (2 words)
+
+    # audioset label bank
+    ap = str(tmp_path / "labels.csv")
+    pd.DataFrame({"display_name": ["Dog", "Rain", "Speech"]}).to_csv(ap, index=False)
+    recs = extract_text_bank(et, "audioset", ap)
+    assert recs[0]["label"] == "Dog" and recs[0]["label_embedding"].shape == (1, 8)
+
+    # chatgpt lines
+    cp = str(tmp_path / "caps.txt")
+    open(cp, "w").write("a dog barks\n\nx\nrain falls hard\n")
+    recs = extract_text_bank(et, "chatgpt", cp)
+    assert len(recs) == 2
+
+
+def test_related_knn(tmp_path):
+    rng = np.random.default_rng(0)
+    recs = [{"caption": f"c{i}", "text_embedding": rng.standard_normal((1, 8)).astype(np.float32)}
+            for i in range(20)]
+    # add a duplicate to exercise dedupe
+    recs.append(dict(recs[0]))
+    p = str(tmp_path / "bank.pkl")
+    write_bank_list(p, recs)
+
+    bank, records = load_unique_text_embeddings([p])
+    assert bank.shape == (20, 8)  # dedup
+    out = list(attach_related(bank, records, topnumber=3, batch=7, device=False))
+    assert len(out) == 21
+    for r in out:
+        assert r["related_embeddings"].shape == (3, 8)
+        # the item's own embedding should be its top neighbor (cos=1)
+        e = r["text_embedding"].reshape(-1)
+        e = e / np.linalg.norm(e)
+        sims = r["related_embeddings"] @ e
+        assert sims.max() > 0.999
+
+
+def test_prepare_clotho(tmp_path):
+    root = tmp_path / "clotho"
+    (root / "annotation").mkdir(parents=True)
+    (root / "audio" / "dev").mkdir(parents=True)
+    rows = []
+    for i in range(3):
+        name = f"clip_{i}.wav"
+        (root / "audio" / "dev" / name).write_bytes(b"RIFF")
+        rows.append({"file_name": name,
+                     **{f"caption_{j}": f"cap {i} {j}" for j in range(1, 6)}})
+    pd.DataFrame(rows).to_csv(root / "annotation" / "dev.csv", index=False)
+
+    from zs_aac_tpu.pipeline.prepare import prepare_clotho_split
+
+    out = tmp_path / "out"
+    hashed = out / "hashed_audio"
+    hashed.mkdir(parents=True)
+    n = prepare_clotho_split("dev", root / "annotation", root / "audio", hashed, out)
+    assert n == 3
+    wav = pd.read_csv(out / "dev" / "wav.csv", sep="\t")
+    assert len(wav) == 3
+    tj = json.load(open(out / "dev" / "text.json"))
+    assert len(tj["audios"][0]["captions"]) == 5
+    assert os.path.islink(wav["file_name"][0])
+
+
+def test_synthesis_selection_filter_translation():
+    rng = np.random.default_rng(0)
+    # two well separated clusters -> diverse selection spans both
+    a = rng.standard_normal((10, 8)) + 10
+    b = rng.standard_normal((10, 8)) - 10
+    embs = np.concatenate([a, b]).astype(np.float32)
+    import random as pyrandom
+
+    idx = select_diverse_examples(embs, threshold=0.3, num_samples=2,
+                                  rng=pyrandom.Random(0))
+    assert len(idx) == 2
+    assert (idx[0] < 10) != (idx[1] < 10)  # one from each cluster
+
+    calls = []
+
+    def fake_llm(prompt):
+        calls.append(prompt)
+        return "a dog barks in the yard.\n- rain falls on the roof.\nxy"
+
+    caps = [f"caption {i}" for i in range(20)]
+    out = synthesize_captions(fake_llm, embs, caps, total=4, per_call=2,
+                              rng=pyrandom.Random(1))
+    assert len(out) == 4
+    assert "rain falls on the roof." in out
+    assert "examples of audio captions" in calls[0]
+
+    kept = vocabulary_filter(["a dog barks.", "a zebra gallops."],
+                             {"a", "dog", "barks"})
+    assert kept == ["a dog barks."]
+
+    recs = translate_records([{"caption": "a dog barks."}],
+                             lambda p: "chinese/french text")
+    assert recs[0]["cn_caption"] == "chinese/french text"
+    assert recs[0]["fr_caption"] == "chinese/french text"

@@ -52,13 +52,16 @@ def create_ase_state(
     spec_shape=(2, 128, 64),
     text_len: int = 30,
 ) -> ASETrainState:
-    variables = ase.init(
-        {"params": rng},
+    # init must be jitted: un-jitted flax init dispatches op-by-op, which is
+    # pathological through remote-TPU transports (see verify skill notes).
+    init_fn = jax.jit(lambda r, s, i, m, x: ase.init({"params": r}, s, i, m, x,
+                                                     train=False))
+    variables = init_fn(
+        rng,
         jnp.zeros(spec_shape, jnp.float32),
         jnp.zeros((spec_shape[0], text_len), jnp.int32),
         jnp.ones((spec_shape[0], text_len), jnp.int32),
         jnp.arange(spec_shape[0]),
-        train=False,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
