@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_prefill, gpt2_step, init_kv_cache
 
-__all__ = ["greedy_decode"]
+__all__ = ["greedy_decode", "mistral_greedy_decode"]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
@@ -62,6 +62,59 @@ def greedy_decode(
         logits, cache = gpt2_step(params, cfg, gpt2_embed(params, cur), cache, Lp + i)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return i + 1, tokens, cache, now_stopped, nxt, lengths
+
+    _, tokens, _, _, _, lengths = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)
+    )
+    return tokens, lengths
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+def mistral_greedy_decode(
+    params: dict,
+    cfg,                           # MistralConfig
+    prefix_embeds: jax.Array,      # [B, Lp, D]
+    lora: dict | None = None,
+    max_new_tokens: int = 60,
+    eos_token_id: int = 2,
+):
+    """Batched greedy decode for the Mistral captioner — the reference's
+    ``model.LMmodel.generate(do_sample=False, max_length=60, eos_token_id=2)``
+    path (``/root/reference/train_prompt_multilingual.py:100-105``).
+
+    Returns (tokens [B, max_new_tokens], lengths [B]); the EOS token itself
+    is not emitted into ``tokens`` (HF skip_special_tokens semantics).
+    """
+    from zs_aac_tpu.models.mistral import (
+        init_mistral_cache,
+        mistral_embed,
+        mistral_prefill,
+        mistral_step,
+    )
+
+    B, Lp, _ = prefix_embeds.shape
+    cache = init_mistral_cache(cfg, B, Lp + max_new_tokens, prefix_embeds.dtype)
+    logits, cache = mistral_prefill(params, cfg, prefix_embeds, cache, lora=lora)
+    cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    finished0 = cur == eos_token_id
+    lengths0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, cache, finished, cur, lengths = state
+        tokens = tokens.at[:, i].set(jnp.where(finished, 0, cur))
+        lengths = lengths + (~finished).astype(jnp.int32)
+        logits, cache = mistral_step(
+            params, cfg, mistral_embed(params, cur), cache, Lp + i, lora=lora
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        finished = finished | (nxt == eos_token_id)
+        return i + 1, tokens, cache, finished, nxt, lengths
 
     _, tokens, _, _, _, lengths = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)

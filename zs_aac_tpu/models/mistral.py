@@ -1,0 +1,362 @@
+"""Mistral-7B decoder with LoRA, TPU-native.
+
+Capability parity with the reference's Mistral captioner
+(``/root/reference/models/caption_model.py:208-279,340-426``): HF
+``MistralForCausalLM`` quantized to NF4 via bitsandbytes + PEFT LoRA (r=8,
+alpha=16 on q/k/v/o/gate/up/down/lm_head). bitsandbytes is CUDA-only; on
+TPU the base weights run in **bfloat16** (the documented deviation,
+SURVEY.md §9.8 — bf16 is the TPU-native low-precision path and strictly
+more accurate than NF4), with LoRA applied at the matmul sites (never
+materializing merged weights, so the 7B base stays frozen and single-copy).
+
+Architecture: RMSNorm, rotary embeddings, grouped-query attention
+(32 q / 8 kv heads), SwiGLU MLP, optional sliding-window causal mask
+(irrelevant at this task's <=80-token sequences but implemented).
+KV-cached prefill/step mirror ``models.gpt2``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zs_aac_tpu.models.convert import to_numpy_state_dict
+
+__all__ = [
+    "MistralConfig",
+    "init_mistral",
+    "convert_mistral",
+    "init_lora",
+    "lora_trainable_mask",
+    "mistral_embed",
+    "mistral_forward",
+    "init_mistral_cache",
+    "mistral_prefill",
+    "mistral_step",
+]
+
+LORA_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down", "lm_head")
+
+
+@dataclasses.dataclass(frozen=True)
+class MistralConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    intermediate_size: int = 14336
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    sliding_window: int = 4096
+    max_positions: int = 4096
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.n_heads
+
+
+def _rms_norm(x, w, eps):
+    var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """x: [B, H, L, d]; rotate-half RoPE (HF Llama/Mistral convention)."""
+    d = x.shape[-1]
+    inv = 1.0 / (theta ** (np.arange(0, d, 2, np.float32) / d))
+    ang = positions[:, None].astype(jnp.float32) * inv[None, :]  # [L, d/2]
+    cos = jnp.cos(ang)[None, None]
+    sin = jnp.sin(ang)[None, None]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(x.dtype)
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(x.dtype)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rot * sin
+
+
+def _lora_matmul(x, w, lora: Optional[Dict], scale):
+    """x @ w plus the low-rank LoRA path ((x@a)@b, PEFT layout a:[in,r],
+    b:[r,out]). LoRA params are stored fp32 for training precision and cast
+    to the activation dtype at use (keeps bf16 decode bf16)."""
+    out = x @ w
+    if lora is not None:
+        delta = (x @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype)
+        out = out + delta * jnp.asarray(scale, x.dtype)
+    return out
+
+
+def _get(lora, layer_idx, name):
+    if lora is None:
+        return None
+    entry = lora["layers"][layer_idx] if layer_idx is not None else lora
+    return entry.get(name)
+
+
+def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale,
+               cache_kv=None, cache_index=None):
+    B, L, D = x.shape
+    H, KV, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    q = _lora_matmul(x, p["wq"], lora.get("wq") if lora else None, scale)
+    k = _lora_matmul(x, p["wk"], lora.get("wk") if lora else None, scale)
+    v = _lora_matmul(x, p["wv"], lora.get("wv") if lora else None, scale)
+    q = q.reshape(B, L, H, d).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, KV, d).transpose(0, 2, 1, 3)
+    v = v.reshape(B, L, KV, d).transpose(0, 2, 1, 3)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k, cache_index, axis=2)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v, cache_index, axis=2)
+        k, v = ck, cv
+        new_cache = (ck, cv)
+    else:
+        new_cache = (k, v)
+
+    rep = H // KV
+    k = jnp.repeat(k, rep, axis=1)
+    v = jnp.repeat(v, rep, axis=1)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d).astype(x.dtype)
+    att = jax.nn.softmax((att + bias).astype(jnp.float32), axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, L, H * d)
+    return _lora_matmul(o, p["wo"], lora.get("wo") if lora else None, scale), new_cache
+
+
+def _mlp(p, x, lora, scale):
+    g = _lora_matmul(x, p["gate"], lora.get("gate") if lora else None, scale)
+    u = _lora_matmul(x, p["up"], lora.get("up") if lora else None, scale)
+    h = jax.nn.silu(g) * u
+    return _lora_matmul(h, p["down"], lora.get("down") if lora else None, scale)
+
+
+def _causal_bias(L, offset, window, dtype):
+    q = jnp.arange(L)[:, None] + offset
+    k = jnp.arange(L)[None, :] + 0
+    # full-sequence path: keys at absolute positions 0..L-1
+    kpos = jnp.arange(L)[None, :]
+    ok = (kpos <= q) & (kpos > q - window)
+    return jnp.where(ok, 0.0, -1e9).astype(dtype)[None, None]
+
+
+def mistral_embed(params, tokens):
+    return params["embed"][tokens]
+
+
+def _lora_layer(lora, i):
+    return None if lora is None else lora["layers"][i]
+
+
+def _lora_scale(lora):
+    return 0.0 if lora is None else lora["alpha"] / lora["r"]
+
+
+def mistral_forward(params, cfg: MistralConfig, inputs_embeds,
+                    attention_mask=None, lora=None):
+    """Full-sequence forward -> logits [B, L, vocab]."""
+    B, L, D = inputs_embeds.shape
+    x = inputs_embeds
+    positions = jnp.arange(L)
+    bias = _causal_bias(L, 0, cfg.sliding_window, x.dtype)
+    if attention_mask is not None:
+        bias = bias + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+    scale = _lora_scale(lora)
+    for i, p in enumerate(params["layers"]):
+        ll = _lora_layer(lora, i)
+        h = _rms_norm(x, p["ln1"], cfg.rms_norm_eps)
+        a, _ = _attention(p["attn"], cfg, h, bias=bias, positions=positions,
+                          lora=ll, scale=scale)
+        x = x + a
+        h = _rms_norm(x, p["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(p["mlp"], h, ll, scale)
+    x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_lora = lora.get("lm_head") if lora else None
+    return _lora_matmul(x, params["lm_head"], head_lora, scale)
+
+
+def init_mistral_cache(cfg: MistralConfig, batch: int, max_len: int,
+                       dtype=jnp.bfloat16):
+    d = cfg.head_dim
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, d)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None):
+    B, L, D = inputs_embeds.shape
+    x = inputs_embeds
+    positions = jnp.arange(L)
+    bias = _causal_bias(L, 0, cfg.sliding_window, x.dtype)
+    scale = _lora_scale(lora)
+    T = cache["k"].shape[3]
+    ks, vs = [], []
+    for i, p in enumerate(params["layers"]):
+        ll = _lora_layer(lora, i)
+        h = _rms_norm(x, p["ln1"], cfg.rms_norm_eps)
+        a, (k, v) = _attention(p["attn"], cfg, h, bias=bias, positions=positions,
+                               lora=ll, scale=scale)
+        ks.append(jnp.pad(k, [(0, 0), (0, 0), (0, T - L), (0, 0)]))
+        vs.append(jnp.pad(v, [(0, 0), (0, 0), (0, T - L), (0, 0)]))
+        x = x + a
+        h = _rms_norm(x, p["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(p["mlp"], h, ll, scale)
+    x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_lora = lora.get("lm_head") if lora else None
+    logits = _lora_matmul(x, params["lm_head"], head_lora, scale)
+    cache = {
+        "k": jnp.stack(ks).astype(cache["k"].dtype),
+        "v": jnp.stack(vs).astype(cache["v"].dtype),
+    }
+    return logits, cache
+
+
+def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
+    """One cached decode step. x_embed: [B, D]."""
+    B, D = x_embed.shape
+    x = x_embed[:, None]
+    positions = jnp.full((1,), index)
+    T = cache["k"].shape[3]
+    kpos = jnp.arange(T)[None, :]
+    ok = (kpos <= index) & (kpos > index - cfg.sliding_window)
+    bias = jnp.where(ok, 0.0, -1e9).astype(x.dtype)[None, None]
+    scale = _lora_scale(lora)
+    new_k, new_v = [], []
+    for i, p in enumerate(params["layers"]):
+        ll = _lora_layer(lora, i)
+        h = _rms_norm(x, p["ln1"], cfg.rms_norm_eps)
+        a, (ck, cv) = _attention(
+            p["attn"], cfg, h, bias=bias, positions=positions, lora=ll,
+            scale=scale, cache_kv=(cache["k"][i], cache["v"][i]),
+            cache_index=index,
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+        x = x + a
+        h = _rms_norm(x, p["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(p["mlp"], h, ll, scale)
+    x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head_lora = lora.get("lm_head") if lora else None
+    logits = _lora_matmul(x, params["lm_head"], head_lora, scale)[:, 0]
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+# ---------------------------------------------------------------------------
+# Weights
+# ---------------------------------------------------------------------------
+
+
+def init_mistral(rng: jax.Array, cfg: MistralConfig, dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(rng, 2 + cfg.n_layers)
+
+    def nrm(key, shape, std=0.02):
+        return (jax.random.normal(key, shape) * std).astype(dtype)
+
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    layers = []
+    for i in range(cfg.n_layers):
+        sub = jax.random.split(keys[2 + i], 7)
+        layers.append(
+            {
+                "attn": {
+                    "wq": nrm(sub[0], (D, D)),
+                    "wk": nrm(sub[1], (D, kvd)),
+                    "wv": nrm(sub[2], (D, kvd)),
+                    "wo": nrm(sub[3], (D, D)),
+                },
+                "mlp": {
+                    "gate": nrm(sub[4], (D, I)),
+                    "up": nrm(sub[5], (D, I)),
+                    "down": nrm(sub[6], (I, D)),
+                },
+                "ln1": jnp.ones((D,), dtype),
+                "ln2": jnp.ones((D,), dtype),
+            }
+        )
+    return {
+        "embed": nrm(keys[0], (cfg.vocab_size, D)),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "lm_head": nrm(keys[1], (D, cfg.vocab_size)),
+    }
+
+
+def convert_mistral(state_dict, cfg: MistralConfig, dtype=np.float32) -> dict:
+    """HF ``MistralForCausalLM`` state_dict -> param pytree (weights
+    transposed to [in, out])."""
+    sd = to_numpy_state_dict(state_dict)
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+
+    def t(name):
+        return np.ascontiguousarray(sd[name].T.astype(dtype))
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "wq": t(f"{p}.self_attn.q_proj.weight"),
+                    "wk": t(f"{p}.self_attn.k_proj.weight"),
+                    "wv": t(f"{p}.self_attn.v_proj.weight"),
+                    "wo": t(f"{p}.self_attn.o_proj.weight"),
+                },
+                "mlp": {
+                    "gate": t(f"{p}.mlp.gate_proj.weight"),
+                    "up": t(f"{p}.mlp.up_proj.weight"),
+                    "down": t(f"{p}.mlp.down_proj.weight"),
+                },
+                "ln1": sd[f"{p}.input_layernorm.weight"].astype(dtype),
+                "ln2": sd[f"{p}.post_attention_layernorm.weight"].astype(dtype),
+            }
+        )
+    return {
+        "embed": sd["embed_tokens.weight"].astype(dtype),
+        "layers": layers,
+        "norm": sd["norm.weight"].astype(dtype),
+        "lm_head": t("lm_head.weight"),
+    }
+
+
+def init_lora(rng: jax.Array, cfg: MistralConfig, r: int = 8, alpha: int = 16,
+              dtype=jnp.float32) -> dict:
+    """PEFT-style LoRA params for q/k/v/o/gate/up/down/lm_head
+    (caption_model.py:230-232). a ~ N(0, 0.02), b = 0."""
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    dims = {
+        "wq": (D, D), "wk": (D, kvd), "wv": (D, kvd), "wo": (D, D),
+        "gate": (D, I), "up": (D, I), "down": (I, D),
+    }
+
+    def pair(key, din, dout):
+        return {
+            "a": (jax.random.normal(key, (din, r)) * 0.02).astype(dtype),
+            "b": jnp.zeros((r, dout), dtype),
+        }
+
+    keys = jax.random.split(rng, cfg.n_layers * len(dims) + 1)
+    ki = iter(range(len(keys)))
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append({n: pair(keys[next(ki)], din, dout)
+                       for n, (din, dout) in dims.items()})
+    return {
+        "layers": layers,
+        "lm_head": pair(keys[next(ki)], D, cfg.vocab_size),
+        # float leaves so the pytree stays grad-compatible; frozen by the
+        # optimizer label fn.
+        "r": jnp.asarray(float(r)),
+        "alpha": jnp.asarray(float(alpha)),
+    }
+
+
+def lora_trainable_mask(lora: dict) -> dict:
+    """True for tensors that receive gradients (a/b pairs), False for the
+    scalar hyperparams."""
+    return jax.tree.map(lambda _: True, lora) | {"r": False, "alpha": False}

@@ -1,0 +1,157 @@
+"""Multilingual captioner inference/eval driver (CLI).
+
+Capability parity with ``/root/reference/predict_mistralai_multilingual.py``:
+decode en/zh/fr captions per clip by swapping the language-tag tokens in the
+prompt (:108-118), batched greedy generate (eos 2, max 60), per-language
+evaluation, ``scores_{en,zh,fr}.txt`` + ``output.txt``.
+
+Deviation: the reference tokenizes references/predictions with stanza per
+language (:22-47); stanza isn't in this environment, so zh uses
+character-level tokenization and en/fr use the PTB-style tokenizer — the
+standard fallbacks for those scripts (documented here and in scores files).
+The reference's debug leftover that overwrites ``selected_text`` with a
+hardcoded sentence (:55, SURVEY.md §8.6) is not replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+
+import numpy as np
+
+__all__ = ["main", "tokenize_lang"]
+
+LANGS = ("en", "zh", "fr")
+REF_FIELD = {"en": "caption", "zh": "cn_caption", "fr": "fr_caption"}
+
+
+def tokenize_lang(text: str, lang: str) -> str:
+    """Language-aware pre-tokenization -> space-joined tokens."""
+    text = text.strip().lower()
+    if lang == "zh":
+        text = re.sub(r"[^\w一-鿿]+", "", text)
+        return " ".join(list(text))
+    toks = re.findall(r"[a-zà-ÿ0-9]+(?:'[a-zà-ÿ]+)?", text)
+    return " ".join(toks)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test_dir", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--sound_effect", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--mistral_ckpt", default=None)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--langs", nargs="+", default=list(LANGS))
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.data.datasets import CaptionBankTestDataset, CaptionDatasetConfig
+    from zs_aac_tpu.eval.captioning import eval_prediction
+    from zs_aac_tpu.models.caption_mistral import (
+        MistralCaptionConfig,
+        init_mistral_caption,
+    )
+    from zs_aac_tpu.train.train_prompt import _make_tokenizer
+    from zs_aac_tpu.train.train_prompt_multilingual import (
+        LANG_TAGS,
+        _mistral_config,
+        run_multilingual_validation,
+    )
+    from zs_aac_tpu.utils.checkpoints import load_params
+
+    with open(os.path.join(args.test_dir, "params.json")) as f:
+        saved = json.load(f)
+
+    class _A:
+        tokenizer = args.tokenizer or saved.get("tokenizer")
+
+    tokenizer, _ = _make_tokenizer(_A, saved["data"])
+    if hasattr(tokenizer, "stoi"):
+        for tag in LANG_TAGS.values():
+            if tag not in tokenizer.stoi:
+                tokenizer.stoi[tag] = len(tokenizer.itos)
+                tokenizer.itos.append(tag)
+
+    dcfg = CaptionDatasetConfig(
+        prefix_length=saved["prefix_length"],
+        normalize_prefix=saved.get("normalize_prefix", False),
+        sound_effect_path=args.sound_effect or saved.get("sound_effect"),
+    )
+    ds = CaptionBankTestDataset(args.data, tokenizer, dcfg)
+
+    ccfg = MistralCaptionConfig(
+        prefix_length=saved["prefix_length"],
+        prefix_size=1024 if saved.get("is_rn") else 512,
+        clip_length=saved.get("prefix_length_clip", saved["prefix_length"]),
+        num_layers=saved.get("num_layers", 8),
+        mapping_type=saved.get("mapping_type", "mlp"),
+        only_soft_prompt=saved.get("only_soft_prompt", False),
+        islang=saved.get("islang", 1),
+        lora_r=saved.get("lora_r", 8),
+        lora_alpha=saved.get("lora_alpha", 16),
+        mistral=_mistral_config(saved.get("mistral_size", "7b"),
+                                saved.get("mistral_vocab_size",
+                                          tokenizer.vocab_size)),
+    )
+    params = init_mistral_caption(jax.random.key(0), ccfg)
+    mistral_ckpt = args.mistral_ckpt or saved.get("mistral_ckpt")
+    if mistral_ckpt:
+        params["mistral"] = load_params(mistral_ckpt, params["mistral"])
+    head = load_params(os.path.join(args.test_dir, "best.pth"),
+                       {"mapper": params["mapper"], "lora": params["lora"]})
+    params["mapper"], params["lora"] = head["mapper"], head["lora"]
+
+    all_preds = {}
+    for lang in args.langs:
+        # references in this language
+        key2refs = {}
+        for rec in ds.records:
+            caps = rec["caption"]
+            caps = caps if isinstance(caps, list) else [{"caption": caps}]
+            refs = []
+            for c in caps:
+                base = c if isinstance(c, dict) else {"caption": c}
+                refs.append(str(base.get(REF_FIELD[lang], base.get("caption", ""))))
+            key2refs[rec["audio_id"]] = [
+                tokenize_lang(r, lang) for r in refs if r
+            ]
+        _, key2pred = run_multilingual_validation(
+            params, ccfg, ds, tokenizer, {k: v or [""] for k, v in key2refs.items()},
+            lang=lang, batch=args.batch,
+        )
+        key2pred_tok = {k: [tokenize_lang(v[0], lang)] for k, v in key2pred.items()}
+        scores = eval_prediction(
+            {k: v or [""] for k, v in key2refs.items()}, key2pred_tok,
+            metrics=("Bleu", "ROUGE_L", "CIDEr"), pretokenized=True,
+        )
+        with open(os.path.join(args.test_dir, f"scores_{lang}.txt"), "w") as f:
+            for n in range(4):
+                f.write("Bleu-{}: {:6.4f}\n".format(n + 1, scores["Bleu"][n]))
+            f.write("ROUGE_L: {:6.4f}\n".format(scores["ROUGE_L"]))
+            f.write("CIDEr: {:6.4f}\n".format(scores["CIDEr"]))
+            f.write("# tokenization: char-level (zh) / regex words (en,fr); "
+                    "reference uses stanza\n")
+        all_preds[lang] = key2pred
+        print(lang, {k: round(v, 4) for k, v in scores.items()
+                     if isinstance(v, float)})
+
+    out = []
+    for key in next(iter(all_preds.values())):
+        rec = {"filename": key}
+        for lang in args.langs:
+            rec[f"caption_{lang}"] = all_preds[lang][key][0]
+        out.append(rec)
+    with open(os.path.join(args.test_dir, "output.txt"), "w") as f:
+        json.dump({"predictions": out}, f, indent=2, ensure_ascii=False)
+    return all_preds
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,9 @@ def restore_model_only(path: str, template: Any) -> Any:
 def criterion_improver(mode: str):
     """Closure tracking best value (``utils.py:33-47``)."""
     assert mode in ("loss", "acc", "score")
-    best = float("inf") if mode == "loss" else 0.0
+    # score/acc start at -inf (not the reference's 0) so a first validation
+    # of 0.0 still checkpoints; strictly more robust, same trajectory after.
+    best = float("inf") if mode == "loss" else float("-inf")
 
     def inner(x: float) -> bool:
         nonlocal best
