@@ -136,3 +136,40 @@ def test_word_tokenizer_roundtrip():
     ids = tok.encode("a dog barks.")
     assert tok.decode(ids) == "a dog barks."
     assert ids[-1] == tok.stop_token_id
+
+
+def test_cross_attention_variants():
+    from zs_aac_tpu.models.caption import (
+        caption_cross_train_logits,
+        cross_attention_prefix,
+        init_cross_attention,
+    )
+
+    cfg = _cfg(sound_effect_num=4)
+    params = init_caption_model(jax.random.key(0), cfg)
+    params["cross_attention"] = init_cross_attention(jax.random.key(1), cfg)
+    rng = np.random.default_rng(4)
+    B = 3
+    prefix = jnp.asarray(rng.standard_normal((B, cfg.prefix_size)).astype(np.float32))
+    labels = jnp.asarray(rng.standard_normal((12, cfg.prefix_size)).astype(np.float32))
+
+    p1 = cross_attention_prefix(params, cfg, prefix, labels, version=1)
+    p2 = cross_attention_prefix(params, cfg, prefix, labels, version=2)
+    assert p1.shape == p2.shape == prefix.shape
+    # v2 is residual: v2 - v1 == prefix (same attention inputs in eval)
+    np.testing.assert_allclose(np.asarray(p2 - p1), np.asarray(prefix), rtol=1e-5)
+
+    # v2 train masking never masks all effects
+    p2t = cross_attention_prefix(
+        params, cfg, prefix, labels, version=2, train=True,
+        mask_probability=0.99, rng=jax.random.key(2),
+    )
+    assert np.isfinite(np.asarray(p2t)).all()
+
+    tokens = jnp.asarray(rng.integers(1, 60, (B, 8)))
+    mask = jnp.ones((B, cfg.prefix_length + 8), jnp.float32)
+    logits = caption_cross_train_logits(
+        params, cfg, tokens, prefix, mask, labels, version=2,
+        train=True, rng=jax.random.key(3),
+    )
+    assert logits.shape == (B, 8, cfg.gpt2.vocab_size)

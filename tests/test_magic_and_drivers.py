@@ -142,3 +142,37 @@ def test_train_and_predict_drivers_smoke(tmp_path):
     assert "SPIDEr" in scores
     txt = open(os.path.join(out_dir, "scores.txt")).read()
     assert "Bleu-4" in txt and "SPIDEr" in txt
+
+
+def test_generate_beam_magic():
+    from zs_aac_tpu.decoding.magic import generate_beam_magic
+
+    params = init_gpt2(jax.random.key(0), GCFG)
+    rng = np.random.default_rng(5)
+    prefix = jnp.asarray(rng.standard_normal((1, 4, GCFG.n_embd)).astype(np.float32))
+    audio = rng.standard_normal(16).astype(np.float32)
+    tok = WordTokenizer(["w%d" % i for i in range(48)])
+
+    def fake_encode(texts):
+        out = []
+        for t in texts:
+            r = np.random.default_rng(abs(hash(t)) % (2**31))
+            out.append(r.standard_normal(16).astype(np.float32))
+        return np.stack(out)
+
+    scorer = make_magic_scorer(None, tok, encode_text_fn=fake_encode)
+    cands, scores = generate_beam_magic(
+        params, GCFG, prefix, audio, scorer,
+        beam_size=3, magic_width=5, alpha=0.1, beta=0.2,
+        entry_length=8, stop_token_id=STOP,
+    )
+    assert len(cands) == 3
+    assert all(1 <= len(c) <= 8 for c in cands)
+    assert list(scores) == sorted(scores, reverse=True)
+    # deterministic
+    cands2, _ = generate_beam_magic(
+        params, GCFG, prefix, audio, scorer,
+        beam_size=3, magic_width=5, alpha=0.1, beta=0.2,
+        entry_length=8, stop_token_id=STOP,
+    )
+    assert cands == cands2

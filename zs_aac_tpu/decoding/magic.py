@@ -37,7 +37,7 @@ from zs_aac_tpu.models.gpt2 import (
     init_kv_cache,
 )
 
-__all__ = ["magic_search", "make_magic_scorer", "clap_logprobs"]
+__all__ = ["magic_search", "generate_beam_magic", "make_magic_scorer", "clap_logprobs"]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 5))
@@ -198,3 +198,128 @@ def magic_search(
         if tok == stop_token_id:
             break
     return generated
+
+
+# ---------------------------------------------------------------------------
+# Beam MAGIC (generate_beam_magic, gpt2_prefix_eval.py:602-689)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _probe_step_beam(params, cfg: GPT2Config, logits, cache, index, magic_width):
+    """Per-beam top-k expansion. logits: [beam, V]; cache leaves
+    [n_layer, beam, H, T, d]. Returns (top_ids [beam, w], top_logp [beam, w],
+    probe_logits [beam*w, V], probe_cache (beam*w rows), hidden [beam*w, D])."""
+    beam = logits.shape[0]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    top_logp, top_ids = jax.lax.top_k(logp, magic_width)  # [beam, w]
+    kcache = jax.tree.map(
+        lambda x: jnp.repeat(x, magic_width, axis=1), cache
+    )  # rows ordered beam-major: b0w0, b0w1, ...
+    emb = gpt2_embed(params, top_ids.reshape(-1))
+    plogits, pcache, hidden = gpt2_step(
+        params, cfg, emb, kcache, index, return_hidden=True
+    )
+    return top_ids, top_logp, plogits, pcache, hidden
+
+
+def generate_beam_magic(
+    gpt2_params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,      # [1, Lp, D]
+    audio_embed: np.ndarray,
+    score_fn,
+    beam_size: int = 3,
+    magic_width: int = 25,
+    alpha: float = 0.1,
+    beta: float = 0.2,
+    entry_length: int = 67,
+    stop_token_id: int = 13,
+):
+    """Beam search ranked by the MAGIC score (reference semantics incl. the
+    log-prob LM term used by ``ComputeMagicScore``, :561-562, the stopped-row
+    forcing, and length-normalized selection). Returns (token_lists, scores)
+    sorted best-first."""
+    _, Lp, D = prefix_embeds.shape
+    T = Lp + entry_length
+    cache1 = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
+    logits_seq, cache1, hidden = gpt2_prefill(
+        gpt2_params, cfg, prefix_embeds, cache1, return_hidden=True
+    )
+    # beam-expand
+    cache = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (x.shape[0], beam_size, *x.shape[2:])), cache1
+    )
+    logits = jnp.broadcast_to(logits_seq[:, -1], (beam_size, logits_seq.shape[-1]))
+    context = jnp.zeros((beam_size, T, D), prefix_embeds.dtype)
+    context = context.at[:, :Lp].set(hidden[0][None])
+    context_len = Lp
+
+    tokens = np.zeros((beam_size, entry_length), np.int64)
+    scores = None
+    seq_lengths = np.ones(beam_size)
+    is_stopped = np.zeros(beam_size, bool)
+
+    for i in range(entry_length):
+        top_ids, top_logp, plogits, pcache, hidden = _probe_step_beam(
+            gpt2_params, cfg, logits, cache, Lp + i, magic_width
+        )
+        # degeneration penalty per (beam, width)
+        ctx_rep = jnp.repeat(context, magic_width, axis=0)  # [beam*w, T, D]
+        deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+            ctx_rep, hidden[:, None], context_len
+        )[:, 0]
+        deg = np.asarray(deg).reshape(beam_size, magic_width)
+
+        # CLAP score: log-softmax within each beam's candidate set
+        ids_np = np.asarray(top_ids)
+        clap = np.zeros((beam_size, magic_width), np.float32)
+        for b in range(beam_size):
+            prev = list(tokens[b][:i]) if i else []
+            cand = [prev + [int(t)] for t in ids_np[b]]
+            clap[b] = score_fn(audio_embed, cand)
+
+        magic = (
+            (1.0 - alpha) * np.asarray(top_logp)
+            - alpha * deg
+            + beta * clap
+        )  # [beam, w]
+
+        if scores is None:
+            order = np.argsort(-magic[0])[:beam_size]
+            scores = magic[0][order]
+            nxt = ids_np[0][order]
+            src = np.zeros(beam_size, np.int64)  # all from beam 0 row
+            flat_sel = order  # indices into beam0's width axis
+            sel_rows = 0 * beam_size + flat_sel
+        else:
+            m = magic.copy()
+            m[is_stopped] = -np.inf
+            m[is_stopped, 0] = 0.0
+            scores_sum = scores[:, None] + m
+            seq_lengths[~is_stopped] += 1
+            avg = scores_sum / seq_lengths[:, None]
+            flat = np.argsort(-avg.reshape(-1))[:beam_size]
+            src = flat // magic_width
+            w = flat % magic_width
+            seq_lengths = seq_lengths[src]
+            nxt = ids_np[src, w]
+            tokens = tokens[src]
+            is_stopped = is_stopped[src]
+            scores = avg.reshape(-1)[flat] * seq_lengths
+            sel_rows = src * magic_width + w
+
+        tokens[:, i] = nxt
+        sel = jnp.asarray(sel_rows)
+        cache = jax.tree.map(lambda x: x[:, sel], pcache)
+        logits = plogits[sel]
+        context = context[jnp.asarray(src)].at[:, context_len].set(hidden[sel])
+        context_len += 1
+        is_stopped = is_stopped | (nxt == stop_token_id)
+        if is_stopped.all():
+            break
+
+    final = scores / seq_lengths
+    order = np.argsort(-final)
+    out_tokens = [list(tokens[b][: int(seq_lengths[b])]) for b in order]
+    return out_tokens, final[order]

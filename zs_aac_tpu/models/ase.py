@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from zs_aac_tpu.models.bert import BertConfig, BertEncoder
 
-__all__ = ["ASEConfig", "ASE", "atc_loss", "TEXT_MODEL_REGISTRY", "text_config"]
+__all__ = ["ASEConfig", "ASE", "atc_loss", "ntxent_loss", "TEXT_MODEL_REGISTRY", "text_config"]
 
 
 # name -> (BertConfig kwargs, width). Mirrors text_encoder.py:22-35.
@@ -69,6 +69,19 @@ def atc_loss(sim_a2t, sim_t2a, sim_targets=None):
     loss_a2t = -jnp.sum(jax.nn.log_softmax(sim_a2t, axis=1) * sim_targets, axis=1).mean()
     loss_t2a = -jnp.sum(jax.nn.log_softmax(sim_t2a, axis=1) * sim_targets, axis=1).mean()
     return (loss_a2t + loss_t2a) / 2
+
+
+def ntxent_loss(audio_embeds, text_embeds, temperature: float = 0.07):
+    """Cosine-sim NT-Xent (losses.py:40-68 — present in the reference's loss
+    registry but unused by the main path)."""
+    def norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    a, t = norm(audio_embeds), norm(text_embeds)
+    a2t = a @ t.T / temperature
+    t2a = t @ a.T / temperature
+    return 0.5 * (-jax.nn.log_softmax(a2t, axis=1).mean()
+                  - jax.nn.log_softmax(t2a, axis=1).mean())
 
 
 class _Proj(nn.Module):

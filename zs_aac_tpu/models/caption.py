@@ -194,3 +194,105 @@ def trainable_filter(cfg: CaptionConfig):
         )
 
     return label
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention variants (ClapCaptionCrossattention / _v2,
+# caption_model.py:100-207)
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn  # noqa: E402
+
+
+class _SoundEffectCrossAttention(nn.Module):
+    """torch ``nn.MultiheadAttention(prefix_size, 4, batch_first=True)``
+    equivalent: fused qkv in-projection + out projection."""
+
+    dim: int
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, q, kv, key_mask=None):  # q: [B,1,E], kv: [B,k,E]
+        B, _, E = q.shape
+        h = self.num_heads
+        d = E // h
+        qp = nn.Dense(E, name="q_proj")(q)
+        kp = nn.Dense(E, name="k_proj")(kv)
+        vp = nn.Dense(E, name="v_proj")(kv)
+        qp = qp.reshape(B, 1, h, d).transpose(0, 2, 1, 3)
+        kp = kp.reshape(B, -1, h, d).transpose(0, 2, 1, 3)
+        vp = vp.reshape(B, -1, h, d).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bhqd,bhkd->bhqk", qp, kp) / jnp.sqrt(d).astype(q.dtype)
+        if key_mask is not None:  # True = masked out (torch attn_mask bool)
+            att = jnp.where(key_mask[:, None, :, :], -1e9, att)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, vp)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, E)
+        return nn.Dense(E, name="out_proj")(out)
+
+
+def init_cross_attention(rng: jax.Array, cfg: CaptionConfig) -> dict:
+    mod = _SoundEffectCrossAttention(cfg.prefix_size)
+    dummy_q = jnp.zeros((1, 1, cfg.prefix_size))
+    dummy_kv = jnp.zeros((1, max(cfg.sound_effect_num, 1), cfg.prefix_size))
+    return mod.init(rng, dummy_q, dummy_kv)["params"]
+
+
+def cross_attention_prefix(
+    params: dict,
+    cfg: CaptionConfig,
+    prefix: jax.Array,                 # [B, E]
+    label_embeddings: jax.Array,       # [N, E]
+    version: int = 1,
+    train: bool = False,
+    mask_probability: float = 0.25,
+    rng: Optional[jax.Array] = None,
+):
+    """Refine the CLAP prefix by cross-attending over its top-k sound
+    effects. v1 replaces the prefix (caption_model.py:120-128); v2 adds a
+    residual and randomly masks effects during training, re-opening one
+    effect when all got masked (:174-186)."""
+    idx = sound_effect_choice(prefix, label_embeddings, cfg.sound_effect_num)
+    chosen = label_embeddings[idx]  # [B, k, E]
+
+    key_mask = None
+    if version == 2 and train:
+        assert rng is not None, "v2 training masking needs an rng"
+        k1, k2 = jax.random.split(rng)
+        k = cfg.sound_effect_num
+        m = jax.random.uniform(k1, (prefix.shape[0], 1, k)) < mask_probability
+        # rows that masked everything re-open one random effect
+        all_masked = jnp.sum(m, axis=-1, keepdims=True) == k
+        reopen = jax.nn.one_hot(
+            jax.random.randint(k2, (prefix.shape[0], 1), 0, k), k, dtype=bool
+        )
+        key_mask = jnp.where(all_masked, m & ~reopen, m)
+
+    mod = _SoundEffectCrossAttention(cfg.prefix_size)
+    out = mod.apply({"params": params["cross_attention"]},
+                    prefix[:, None], chosen, key_mask)[:, 0]
+    return out if version == 1 else out + prefix
+
+
+def caption_cross_train_logits(
+    params: dict,
+    cfg: CaptionConfig,
+    tokens: jax.Array,
+    prefix: jax.Array,
+    mask: jax.Array,
+    label_embeddings: jax.Array,
+    version: int = 1,
+    train: bool = True,
+    mask_probability: float = 0.25,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Cross-attention caption forward; logits aligned like the base model
+    without hard prompts (slice ``prefix_length-1:-1``)."""
+    refined = cross_attention_prefix(
+        params, cfg, prefix, label_embeddings, version, train,
+        mask_probability, rng,
+    )
+    proj = prefix_projections(params, cfg, refined)
+    embeds = jnp.concatenate([proj, gpt2_embed(params["gpt2"], tokens)], axis=1)
+    logits = gpt2_forward(params["gpt2"], cfg.gpt2, embeds, mask)
+    return logits[:, cfg.prefix_length - 1 : -1]

@@ -128,14 +128,14 @@ def main(argv=None):
             )
         ]
         if args.magic:
-            from zs_aac_tpu.decoding.magic import magic_search
+            from zs_aac_tpu.decoding.magic import generate_beam_magic
 
-            ids = magic_search(
+            cand, _ = generate_beam_magic(
                 params["gpt2"], ccfg.gpt2, emb, it["prefix"], magic_score_fn,
-                beam_width=args.magic_width, alpha=args.alpha, beta=args.beta,
-                stop_token_id=stop_id,
+                beam_size=3, magic_width=args.magic_width,
+                alpha=args.alpha, beta=args.beta, stop_token_id=stop_id,
             )
-            text = tokenizer.decode(ids)
+            text = tokenizer.decode(cand[0])
         elif args.isbeam:
             toks, lens, scores = beam_search(
                 params["gpt2"], ccfg.gpt2, emb, args.beam_size, 67, stop_id
