@@ -12,6 +12,9 @@ CPU throughput: PyTorch GPT2LMHeadModel, full-sequence recompute per step
 host (1 vCPU): 182.6 ms/step -> 0.082 captions/sec for a 67-step caption.
 Re-measure with ``--measure-cpu``.
 
+The decode runs in bfloat16 (weights + KV cache) with in-place cache
+scatters inside the ``lax.while_loop``.
+
 Timing method: the axon TPU tunnel caches identical executions and
 ``block_until_ready`` is unreliable, so N calls are chained with a data
 dependency and timed against a 1-call baseline (see
@@ -68,12 +71,13 @@ def main():
 
     cfg = CaptionConfig(prefix_length=10, prefix_size=1024, gpt2=GPT2Config())
     params = jax.device_put(init_caption_model(jax.random.key(0), cfg))
-    gp = params["gpt2"]
+    # Serving path: bf16 weights + KV cache (TPU-native low precision).
+    gp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params["gpt2"])
 
     rng = np.random.default_rng(0)
     prefix = jnp.asarray(rng.standard_normal((args.batch, 1024)).astype(np.float32))
     embed_fn = jax.jit(lambda p, pr: caption_embeddings(p, cfg, pr))
-    emb0 = embed_fn(params, prefix)
+    emb0 = embed_fn(params, prefix).astype(jnp.bfloat16)
 
     def chained(emb, n):
         toks = None

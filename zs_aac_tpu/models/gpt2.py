@@ -55,9 +55,12 @@ def _gelu_new(x):
 
 
 def _ln(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # LN statistics in fp32 for bf16 stability; output in the input dtype.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _split_heads(x, n_head):
@@ -84,7 +87,7 @@ def _attn_block(p, cfg, x, *, bias, kv=None):
         k, v = kv
     d = cfg.n_embd // cfg.n_head
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d).astype(x.dtype)
-    att = jax.nn.softmax(att + bias, axis=-1)
+    att = jax.nn.softmax((att + bias).astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
     out = _merge_heads(out) @ p["c_proj"]["w"] + p["c_proj"]["b"]
     return out, new_kv
@@ -187,7 +190,11 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
     valid = (jnp.arange(T) <= index)[None, None, None]  # [1,1,1,T]
     bias = jnp.where(valid, 0.0, -1e9).astype(x.dtype)
 
-    new_k, new_v = [], []
+    # Single stacked cache buffers updated in place per layer — inside the
+    # decode while_loop XLA aliases these scatters, so the O(n_layer*B*H*T*d)
+    # cache is never copied per step (the old list+stack version was).
+    ck_all, cv_all = cache["k"], cache["v"]
+    cdtype = ck_all.dtype
     for i in range(cfg.n_layer):
         blk = params["h"][i]
         h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
@@ -196,14 +203,13 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
         q = _split_heads(q, cfg.n_head)  # [B, H, 1, d]
         k = _split_heads(k, cfg.n_head)
         v = _split_heads(v, cfg.n_head)
-        ck = jax.lax.dynamic_update_index_in_dim(cache["k"][i], k[:, :, 0], index, axis=2)
-        cv = jax.lax.dynamic_update_index_in_dim(cache["v"][i], v[:, :, 0], index, axis=2)
-        new_k.append(ck)
-        new_v.append(cv)
+        ck_all = ck_all.at[i, :, :, index].set(k[:, :, 0].astype(cdtype))
+        cv_all = cv_all.at[i, :, :, index].set(v[:, :, 0].astype(cdtype))
         d = cfg.n_embd // cfg.n_head
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / np.sqrt(d).astype(x.dtype)
-        att = jax.nn.softmax(att + bias, axis=-1)
-        o = jnp.einsum("bhqk,bhkd->bhqd", att, cv)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, ck_all[i].astype(x.dtype))
+        att = att / np.sqrt(d).astype(x.dtype)
+        att = jax.nn.softmax((att + bias).astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", att, cv_all[i].astype(x.dtype))
         o = _merge_heads(o) @ blk["attn"]["c_proj"]["w"] + blk["attn"]["c_proj"]["b"]
         x = x + o
         h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
@@ -211,8 +217,8 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
         x = x + (h @ blk["mlp"]["c_proj"]["w"] + blk["mlp"]["c_proj"]["b"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = (x @ params["wte"].T)[:, 0]
-    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    logits = (x @ params["wte"].T)[:, 0].astype(jnp.float32)
+    cache = {"k": ck_all, "v": cv_all}
     if return_hidden:
         return logits, cache, x[:, 0]
     return logits, cache
