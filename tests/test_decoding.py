@@ -117,3 +117,19 @@ def test_beam_all_beams_stop():
     assert tokens.shape == (4, 40)
     assert (lengths >= 1).all() and (lengths <= 40).all()
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_batched_beam_matches_single():
+    from zs_aac_tpu.decoding.beam import beam_search_batched
+
+    params, prefix = _setup(4, b=3)
+    beam = 3
+    bt, bl, bs = beam_search_batched(params, CFG, prefix, beam, 12, STOP)
+    assert bt.shape == (3, beam, 12)
+    for b in range(3):
+        st, sl, ss = beam_search(params, CFG, prefix[b : b + 1], beam, 12, STOP)
+        for k in range(beam):
+            L = int(sl[k])
+            assert int(bl[b, k]) == L
+            assert list(np.asarray(bt[b, k][:L])) == list(np.asarray(st[k][:L])), (b, k)
+        np.testing.assert_allclose(np.asarray(bs[b]), np.asarray(ss), rtol=1e-4)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_prefill, gpt2_step, init_kv_cache
 
-__all__ = ["beam_search"]
+__all__ = ["beam_search", "beam_search_batched"]
 
 _NEG_INF = -1e9
 
@@ -84,6 +84,76 @@ def beam_search(
         seq_lengths = seq_lengths[src]
         is_stopped = is_stopped[src]
         cache = jax.tree.map(lambda x: x[:, src], cache)
+        scores = top_avg * seq_lengths
+        is_stopped = is_stopped | (nxt == stop_token_id)
+        return i + 1, tokens, cache, scores, seq_lengths, is_stopped, nxt
+
+    state = (jnp.int32(1), tokens, cache, scores, seq_lengths, is_stopped, cur)
+    _, tokens, _, scores, seq_lengths, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, seq_lengths.astype(jnp.int32), scores / seq_lengths
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
+def beam_search_batched(
+    params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,   # [B, Lp, D] — many clips at once
+    beam_size: int = 5,
+    entry_length: int = 67,
+    stop_token_id: int = 13,
+    temperature: float = 1.0,
+):
+    """Beam search over a clip batch — same per-clip semantics as
+    ``beam_search`` (verified equivalent in tests), with the beam dim folded
+    into the batch so the whole eval set decodes in a few device programs
+    instead of one per clip. Returns (tokens [B, beam, entry_length],
+    seq_lengths [B, beam], scores [B, beam] length-normalized).
+    """
+    B, Lp, D = prefix_embeds.shape
+    K = beam_size
+    T = Lp + entry_length
+
+    cache1 = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
+    logits1, cache1 = gpt2_prefill(params, cfg, prefix_embeds, cache1)
+    # expand to [n_layer, B*K, H, T, d], beam-major within each clip
+    cache = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), cache1)
+
+    logp0 = jax.nn.log_softmax(logits1[:, -1] / temperature, axis=-1)  # [B, V]
+    scores, first = jax.lax.top_k(logp0, K)              # [B, K]
+    tokens = jnp.zeros((B, K, entry_length), jnp.int32)
+    tokens = tokens.at[:, :, 0].set(first)
+    seq_lengths = jnp.ones((B, K), jnp.float32)
+    is_stopped = first == stop_token_id
+    cur = first.astype(jnp.int32)                        # [B, K]
+
+    clip_offsets = (jnp.arange(B) * K)[:, None]          # [B, 1]
+
+    def cond(state):
+        i, _, _, _, _, stopped, _ = state
+        return (i < entry_length) & ~jnp.all(stopped)
+
+    def body(state):
+        i, tokens, cache, scores, seq_lengths, is_stopped, cur = state
+        emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
+        logits, cache = gpt2_step(params, cfg, emb, cache, Lp + i - 1)
+        logp = jax.nn.log_softmax(logits / temperature).reshape(B, K, -1)
+        V = logp.shape[-1]
+        stopped_row = jnp.full((V,), _NEG_INF, logp.dtype).at[0].set(0.0)
+        logp = jnp.where(is_stopped[..., None], stopped_row, logp)
+        seq_lengths = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
+
+        scores_sum = scores[..., None] + logp            # [B, K, V]
+        avg = scores_sum / seq_lengths[..., None]
+        top_avg, flat = jax.lax.top_k(avg.reshape(B, -1), K)
+        src = flat // V                                  # [B, K] beam source
+        nxt = (flat % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
+        tokens = tokens.at[:, :, i].set(nxt)
+        seq_lengths = jnp.take_along_axis(seq_lengths, src, axis=1)
+        is_stopped = jnp.take_along_axis(is_stopped, src, axis=1)
+        rows = (clip_offsets + src).reshape(-1)          # [B*K] global rows
+        cache = jax.tree.map(lambda x: x[:, rows], cache)
         scores = top_avg * seq_lengths
         is_stopped = is_stopped | (nxt == stop_token_id)
         return i + 1, tokens, cache, scores, seq_lengths, is_stopped, nxt

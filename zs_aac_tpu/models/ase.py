@@ -43,6 +43,23 @@ TEXT_MODEL_REGISTRY = {
                               num_attention_heads=12, intermediate_size=3072),
     "bert-large-uncased": dict(hidden_size=1024, num_hidden_layers=24,
                                num_attention_heads=16, intermediate_size=4096),
+    # RoBERTa / DistilBERT entries from the reference registry: same
+    # encoder architecture at these widths (RoBERTa's vocab/position offset
+    # differences are handled at conversion time; DistilBERT has no token
+    # types — type_vocab_size=2 embeddings simply stay zero-indexed).
+    "roberta-base": dict(vocab_size=50265, hidden_size=768, num_hidden_layers=12,
+                         num_attention_heads=12, intermediate_size=3072,
+                         max_position_embeddings=514),
+    "roberta-large": dict(vocab_size=50265, hidden_size=1024, num_hidden_layers=24,
+                          num_attention_heads=16, intermediate_size=4096,
+                          max_position_embeddings=514),
+    "distilroberta-base": dict(vocab_size=50265, hidden_size=768,
+                               num_hidden_layers=6, num_attention_heads=12,
+                               intermediate_size=3072,
+                               max_position_embeddings=514),
+    "distilbert-base-uncased": dict(hidden_size=768, num_hidden_layers=6,
+                                    num_attention_heads=12,
+                                    intermediate_size=3072),
 }
 
 
@@ -111,6 +128,12 @@ class ASE(nn.Module):
             self.audio_enc = Cnn14(
                 spec_augmentation=c.spec_augmentation, dtype=c.dtype,
                 name="audio_enc", **kw,
+            )
+        elif c.audio_encoder == "resnet38":
+            from zs_aac_tpu.models.cnns import ResNet38
+
+            self.audio_enc = ResNet38(
+                spec_augmentation=c.spec_augmentation, dtype=c.dtype, name="audio_enc"
             )
         elif c.audio_encoder == "htsat":
             from zs_aac_tpu.models.htsat import HTSAT

@@ -57,7 +57,7 @@ def main(argv=None):
 
     from zs_aac_tpu.data.datasets import CaptionBankTestDataset, CaptionDatasetConfig
     from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer, WordTokenizer
-    from zs_aac_tpu.decoding.beam import beam_search
+    from zs_aac_tpu.decoding.beam import beam_search_batched
     from zs_aac_tpu.decoding.greedy import greedy_decode
     from zs_aac_tpu.eval.captioning import eval_prediction
     from zs_aac_tpu.models.caption import (
@@ -137,11 +137,11 @@ def main(argv=None):
             )
             text = tokenizer.decode(cand[0])
         elif args.isbeam:
-            toks, lens, scores = beam_search(
+            toks, lens, scores = beam_search_batched(
                 params["gpt2"], ccfg.gpt2, emb, args.beam_size, 67, stop_id
             )
-            b = int(np.argmax(np.asarray(scores)))
-            text = tokenizer.decode(list(np.asarray(toks[b][: int(lens[b])])))
+            b = int(np.argmax(np.asarray(scores[0])))
+            text = tokenizer.decode(list(np.asarray(toks[0, b][: int(lens[0, b])])))
         else:
             toks, lens = greedy_decode(params["gpt2"], ccfg.gpt2, emb, 67, stop_id, 764)
             text = tokenizer.decode(list(np.asarray(toks[0][: int(lens[0])])))

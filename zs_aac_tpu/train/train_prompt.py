@@ -116,7 +116,7 @@ def run_validation(params, ccfg, val_ds, tokenizer, stop_id, key2refs, beam_size
     """Beam-decode the val set (grouped by hard-prompt length) and score CIDEr."""
     import jax.numpy as jnp
 
-    from zs_aac_tpu.decoding.beam import beam_search
+    from zs_aac_tpu.decoding.beam import beam_search_batched
     from zs_aac_tpu.eval.captioning import eval_prediction
     from zs_aac_tpu.models.caption import caption_embeddings
 
@@ -127,17 +127,30 @@ def run_validation(params, ccfg, val_ds, tokenizer, stop_id, key2refs, beam_size
         groups[h].append(item)
 
     key2pred = {}
+    # Batched-beam device programs, one compile per hard-prompt length (the
+    # reference decodes bs=1 per clip, predict_prompt.py:129-144). Chunks
+    # are padded to a fixed size so each length compiles exactly once and
+    # the beam-expanded KV cache stays bounded.
+    CHUNK = 32
     for h, items in groups.items():
-        for it in items:
-            prefix = jnp.asarray(it["prefix"])[None]
-            hp = jnp.asarray(it["hard_prompt"])[None] if h else None
+        for s in range(0, len(items), CHUNK):
+            chunk = items[s : s + CHUNK]
+            n = len(chunk)
+            padded = chunk + [chunk[-1]] * (CHUNK - n)
+            prefix = jnp.asarray(np.stack([it["prefix"] for it in padded]))
+            hp = (
+                jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
+                if h else None
+            )
             emb = caption_embeddings(params, ccfg, prefix, hp)
-            toks, lens, scores = beam_search(
+            toks, lens, scores = beam_search_batched(
                 params["gpt2"], ccfg.gpt2, emb, beam_size, 67, stop_id
             )
-            best = int(np.argmax(np.asarray(scores)))
-            ids = list(np.asarray(toks[best][: int(lens[best])]))
-            key2pred[it["audio_id"]] = [tokenizer.decode(ids).lower()]
+            toks, lens, scores = np.asarray(toks), np.asarray(lens), np.asarray(scores)
+            for b, it in enumerate(chunk):
+                best = int(np.argmax(scores[b]))
+                ids = list(toks[b, best][: int(lens[b, best])])
+                key2pred[it["audio_id"]] = [tokenizer.decode(ids).lower()]
     out = eval_prediction(key2refs, key2pred, metrics=("CIDEr",))
     return out["CIDEr"], key2pred
 
