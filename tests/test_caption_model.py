@@ -173,3 +173,25 @@ def test_cross_attention_variants():
         train=True, rng=jax.random.key(3),
     )
     assert logits.shape == (B, 8, cfg.gpt2.vocab_size)
+
+
+def test_support_memory_projection():
+    from zs_aac_tpu.utils.memory import construct_support_memory, map_to_memory
+
+    rng = np.random.default_rng(7)
+    recs = [{"text_embedding": rng.standard_normal((1, 8)).astype(np.float32)}
+            for _ in range(10)]
+    mem = construct_support_memory(recs)
+    assert mem.shape == (10, 8)
+    # a query equal to a memory row maps (at high scale) to ~that row
+    q = mem[3:4]
+    out = map_to_memory(q, mem, scale=1000.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(q), rtol=1e-3, atol=1e-3)
+
+
+def test_types_helpers():
+    from zs_aac_tpu.utils.types import get_device, is_debugging
+
+    d = get_device(0)
+    assert d is get_device(-5)  # clamped
+    assert isinstance(is_debugging(), bool)

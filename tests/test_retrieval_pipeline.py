@@ -138,3 +138,67 @@ def glob_one(root, name):
         if name in files:
             return os.path.join(dirpath, name)
     raise FileNotFoundError(name)
+
+
+def test_pretrained_encoder_load_and_freeze(tmp_path):
+    """PANNs-style npz checkpoint loads into the ASE audio tower; frozen
+    towers receive zero updates."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import yaml as _yaml
+
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+    from zs_aac_tpu.train.contrastive import create_ase_state
+    from zs_aac_tpu.train.optim import cosine_lr, get_optimizer
+    from zs_aac_tpu.train.pretrain import apply_freeze, load_pretrained_encoder
+
+    cfg = ASEConfig(embed_size=8, audio_channels=(4, 8),
+                    text_model="prajjwal1/bert-tiny", spec_augmentation=False)
+    ase = ASE(cfg)
+    opt = get_optimizer(cosine_lr(1e-3, 1, 10))
+    state = create_ase_state(jax.random.key(0), ase, opt,
+                             spec_shape=(2, 51, 64), text_len=8)
+
+    # synth a PANNs-style state dict matching the tiny channels (4, 8)
+    sd = {}
+    sd["bn0.weight"] = np.full(64, 2.0, np.float32)
+    sd["bn0.bias"] = np.zeros(64, np.float32)
+    sd["bn0.running_mean"] = np.zeros(64, np.float32)
+    sd["bn0.running_var"] = np.ones(64, np.float32)
+    cin = 1
+    for i, c in enumerate((4, 8), 1):
+        sd[f"conv_block{i}.conv1.weight"] = np.zeros((c, cin, 3, 3), np.float32)
+        sd[f"conv_block{i}.conv2.weight"] = np.zeros((c, c, 3, 3), np.float32)
+        for bn in ("bn1", "bn2"):
+            sd[f"conv_block{i}.{bn}.weight"] = np.ones(c, np.float32)
+            sd[f"conv_block{i}.{bn}.bias"] = np.zeros(c, np.float32)
+            sd[f"conv_block{i}.{bn}.running_mean"] = np.zeros(c, np.float32)
+            sd[f"conv_block{i}.{bn}.running_var"] = np.ones(c, np.float32)
+        cin = c
+    npz = str(tmp_path / "cnn.npz")
+    np.savez(npz, **sd)
+
+    config = {"audio_encoder_args": {"pretrained": True, "pretrained_path": npz,
+                                     "type": "cnn", "model": "Cnn14", "freeze": True},
+              "text_encoder_args": {"freeze": False}}
+    # patch convert to 2 blocks for the tiny model
+    import zs_aac_tpu.train.pretrain as pt
+    import zs_aac_tpu.models.convert as cvt
+
+    orig = cvt.convert_cnn
+    cvt.convert_cnn = lambda sd, n_blocks: orig(sd, 2)
+    try:
+        state = load_pretrained_encoder(state, config)
+    finally:
+        cvt.convert_cnn = orig
+    np.testing.assert_array_equal(
+        np.asarray(state.params["audio_enc"]["bn0"]["scale"]), np.full(64, 2.0)
+    )
+
+    frozen_opt = apply_freeze(opt, config)
+    opt_state = frozen_opt.init(state.params)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    updates, _ = frozen_opt.update(grads, opt_state, state.params)
+    assert float(jnp.abs(updates["audio_enc"]["bn0"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(updates["text_proj"]["fc1"]["kernel"]).max()) > 0.0

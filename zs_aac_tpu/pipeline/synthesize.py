@@ -142,6 +142,25 @@ def translate_records(
     return out
 
 
+def _deepl_caller():
+    """DeepL translation caller (prepare_DeepL_multilingual.py:11-16).
+    Needs the ``deepl`` package + DEEPL_AUTH_KEY (not in this offline
+    image; the logic is exercised with injected callers in tests)."""
+    import os
+
+    import deepl  # noqa: F401
+
+    translator = deepl.Translator(os.environ["DEEPL_AUTH_KEY"])
+
+    def call(prompt: str) -> str:
+        # prompt is the raw caption when used via translate_records' caller
+        text = prompt.splitlines()[-1]
+        lang = "ZH" if "Chinese" in prompt else "FR"
+        return translator.translate_text(text, target_lang=lang).text
+
+    return call
+
+
 def _openai_caller(model: str = "gpt-3.5-turbo"):
     import os
 
@@ -168,6 +187,7 @@ def main(argv=None):
     p.add_argument("--total", type=int, default=100)
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--model", default="gpt-3.5-turbo")
+    p.add_argument("--engine", choices=["openai", "deepl"], default="openai")
     args = p.parse_args(argv)
 
     if args.mode == "filter":
@@ -187,7 +207,7 @@ def main(argv=None):
     from zs_aac_tpu.data.banks import read_bank
 
     records = read_bank(args.bank)
-    caller = _openai_caller(args.model)
+    caller = _deepl_caller() if args.engine == "deepl" else _openai_caller(args.model)
     if args.mode == "generate":
         embs = np.concatenate(
             [np.asarray(r["text_embedding"], np.float32).reshape(1, -1)

@@ -23,7 +23,74 @@ import time
 
 import numpy as np
 
-__all__ = ["main", "validate", "build_ase_from_config"]
+__all__ = ["main", "validate", "build_ase_from_config",
+           "load_pretrained_encoder", "apply_freeze"]
+
+
+def load_pretrained_encoder(state, config):
+    """Load pretrained PANNs/HTSAT weights into the ASE audio tower
+    (the reference's checkpoint surgery, audio_encoder.py:29-62).
+
+    ``audio_encoder_args.pretrained_path`` may be a torch ``.pth``
+    (state_dict or {"model": ...}/{"state_dict": ...}) or a numpy ``.npz``.
+    """
+    enc = config.get("audio_encoder_args", {})
+    path = enc.get("pretrained_path")
+    if not (enc.get("pretrained") and path):
+        return state
+    import os
+
+    from zs_aac_tpu.models.convert import convert_cnn, convert_htsat, convert_resnet38
+
+    if path.endswith(".npz"):
+        import numpy as _np
+
+        sd = dict(_np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        for key in ("model", "state_dict"):
+            if isinstance(sd, dict) and key in sd:
+                sd = sd[key]
+        if enc.get("type") == "transformer":
+            # HTSAT ckpt: strip the sed_model. prefix (audio_encoder.py:54-58)
+            sd = {k.removeprefix("sed_model."): v for k, v in sd.items()
+                  if "spectrogram_extractor" not in k and "logmel_extractor" not in k}
+    sd = {k: v for k, v in sd.items()
+          if "fc" not in k and not k.startswith(("spec", "logmel"))}
+    if enc.get("type") == "transformer":
+        conv = convert_htsat(sd)
+    elif enc.get("model") == "ResNet38":
+        conv = convert_resnet38(sd)
+    else:
+        conv = convert_cnn(sd, n_blocks=6)
+    state.params["audio_enc"] = conv["params"]
+    state.batch_stats["audio_enc"] = conv["batch_stats"]
+    return state
+
+
+def apply_freeze(optimizer, config):
+    """Zero updates for frozen towers (audio_encoder_args.freeze /
+    text_encoder_args.freeze — audio_encoder.py:68-70)."""
+    freeze_audio = config.get("audio_encoder_args", {}).get("freeze", False)
+    freeze_text = config.get("text_encoder_args", {}).get("freeze", False)
+    if not (freeze_audio or freeze_text):
+        return optimizer
+    import optax
+
+    def label(params):
+        out = {}
+        for k in params:
+            if (k == "audio_enc" and freeze_audio) or (k == "text_enc" and freeze_text):
+                out[k] = "frozen"
+            else:
+                out[k] = "trainable"
+        return out
+
+    return optax.multi_transform(
+        {"trainable": optimizer, "frozen": optax.set_to_zero()}, label
+    )
 
 
 def build_ase_from_config(config: dict):
@@ -183,11 +250,13 @@ def main(argv=None):
         import optax
 
         optimizer = optax.chain(optax.clip_by_global_norm(float(clip)), optimizer)
+    optimizer = apply_freeze(optimizer, config)
 
     state = create_ase_state(
         jax.random.key(seed), ase, optimizer,
         spec_shape=(2, 101, mel_cfg.n_mels), text_len=30,
     )
+    state = load_pretrained_encoder(state, config)
     start_epoch = 0
     ckpt_dir = os.path.join(config.get("output_dir", "outputs"), exp_dir, "models")
     os.makedirs(ckpt_dir, exist_ok=True)
