@@ -50,7 +50,7 @@ def measure_cpu_reference(steps=20):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--entry-length", type=int, default=67)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--measure-cpu", action="store_true")
