@@ -202,3 +202,36 @@ def test_pretrained_encoder_load_and_freeze(tmp_path):
     updates, _ = frozen_opt.update(grads, opt_state, state.params)
     assert float(jnp.abs(updates["audio_enc"]["bn0"]["scale"]).max()) == 0.0
     assert float(jnp.abs(updates["text_proj"]["fc1"]["kernel"]).max()) > 0.0
+
+
+def test_preemption_guard_checkpoints(tmp_path):
+    """SIGTERM mid-run -> preempt_model.ckpt written, clean exit."""
+    import signal
+
+    from zs_aac_tpu.utils.preemption import PreemptionGuard
+
+    g = PreemptionGuard(verbose=False)
+    assert not g.should_stop
+    signal.raise_signal(signal.SIGTERM)
+    assert g.should_stop
+    g.restore()
+
+    # full-driver path: a subprocess that SIGTERMs itself after the guard is live
+    import subprocess, sys, textwrap
+
+    root = str(tmp_path)
+    vocab = _mk_corpus(root, n_audio=8)
+    cfg_path = _mk_config(root, vocab)
+    code = textwrap.dedent(f"""
+        import os, signal, threading
+        os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+        import jax; jax.config.update('jax_platforms', 'cpu')
+        pid = os.getpid()
+        threading.Timer(25.0, lambda: os.kill(pid, signal.SIGTERM)).start()
+        from zs_aac_tpu.train.pretrain import main
+        main(['-c', '{cfg_path}', '--epochs', '500', '--max_val_batches', '1'])
+    """)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                       timeout=300)
+    found = list(__import__("pathlib").Path(root).rglob("preempt_model.ckpt"))
+    assert found, f"no preemption checkpoint; stderr: {r.stderr[-800:]}"

@@ -162,7 +162,7 @@ class _SwinBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         H, W = self.input_resolution
         window, shift = self.window, self.shift
         if min(H, W) <= window:
@@ -232,6 +232,7 @@ class HTSAT(nn.Module):
     drop_path_rate: float = 0.1
     n_mels: int = 64
     spec_augmentation: bool = True
+    remat: bool = False  # rematerialize swin blocks (reference use_checkpoint)
     dtype: Any = jnp.float32
 
     @property
@@ -291,13 +292,19 @@ class HTSAT(nn.Module):
         for i, depth in enumerate(self.depths):
             dim = int(self.embed_dim * 2**i)
             for j in range(depth):
-                x = _SwinBlock(
+                block_cls = _SwinBlock
+                if self.remat:
+                    # trade FLOPs for HBM during training (the reference's
+                    # use_checkpoint flag, htsat.py:612 / BasicLayer:614).
+                    # static_argnums=(2,): (module, x, train) — train static.
+                    block_cls = nn.remat(_SwinBlock, static_argnums=(2,))
+                x = block_cls(
                     dim=dim, input_resolution=res, num_heads=self.num_heads[i],
                     window=self.window_size,
                     shift=0 if j % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk_id]),
                     dtype=self.dtype, name=f"layer{i}_block{j}",
-                )(x, train=train)
+                )(x, train)
                 blk_id += 1
             if i < len(self.depths) - 1:
                 x = _PatchMerging(res, dtype=self.dtype, name=f"downsample{i}")(x)

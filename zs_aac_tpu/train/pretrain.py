@@ -275,6 +275,9 @@ def main(argv=None):
             config, ds_name, tokenizer, config.get("data_root", "data")
         )
 
+    from zs_aac_tpu.utils.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
     rng = jax.random.key(seed + 1)
     best_loss = float("inf")
     best_recall = {k: -1.0 for k in val_modules}
@@ -291,6 +294,10 @@ def main(argv=None):
             state, loss = train_step(state, batch, rng)
             meter.update(float(loss))
             it += 1
+            if guard.should_stop:
+                save_train_state(os.path.join(ckpt_dir, "preempt_model.ckpt"), state)
+                logger.info("preempted at step %d; checkpoint saved", it)
+                guard.exit_gracefully()
             if args.max_steps and it >= args.max_steps:
                 break
         logger.info(
