@@ -118,34 +118,61 @@ def main(argv=None):
 
     key2pred, key2prefix = {}, {}
     items = [ds[i] for i in range(len(ds))]
-    for it in items:
-        prefix = jnp.asarray(it["prefix"])[None]
-        hp = jnp.asarray(it["hard_prompt"])[None] if "hard_prompt" in it else None
-        emb = caption_embeddings(params, ccfg, prefix, hp)
-        key2prefix[it["audio_id"]] = [
-            get_prefix_tokens(
-                np.asarray(emb[0, -ccfg.prefix_length:]), wte, tokenizer
-            )
-        ]
-        if args.magic:
-            from zs_aac_tpu.decoding.magic import generate_beam_magic
 
+    if args.magic:
+        # MAGIC is inherently per-clip (per-step candidate text re-encoding).
+        from zs_aac_tpu.decoding.magic import generate_beam_magic
+
+        for it in items:
+            prefix = jnp.asarray(it["prefix"])[None]
+            hp = jnp.asarray(it["hard_prompt"])[None] if "hard_prompt" in it else None
+            emb = caption_embeddings(params, ccfg, prefix, hp)
+            key2prefix[it["audio_id"]] = [get_prefix_tokens(
+                np.asarray(emb[0, -ccfg.prefix_length:]), wte, tokenizer)]
             cand, _ = generate_beam_magic(
                 params["gpt2"], ccfg.gpt2, emb, it["prefix"], magic_score_fn,
                 beam_size=3, magic_width=args.magic_width,
                 alpha=args.alpha, beta=args.beta, stop_token_id=stop_id,
             )
-            text = tokenizer.decode(cand[0])
-        elif args.isbeam:
-            toks, lens, scores = beam_search_batched(
-                params["gpt2"], ccfg.gpt2, emb, args.beam_size, 67, stop_id
-            )
-            b = int(np.argmax(np.asarray(scores[0])))
-            text = tokenizer.decode(list(np.asarray(toks[0, b][: int(lens[0, b])])))
-        else:
-            toks, lens = greedy_decode(params["gpt2"], ccfg.gpt2, emb, 67, stop_id, 764)
-            text = tokenizer.decode(list(np.asarray(toks[0][: int(lens[0])])))
-        key2pred[it["audio_id"]] = [text.lower()]
+            key2pred[it["audio_id"]] = [tokenizer.decode(cand[0]).lower()]
+    else:
+        # Batched device decode, grouped by hard-prompt length, fixed-size
+        # padded chunks (one compile per length; reference is bs=1 per clip).
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for it in items:
+            groups[len(it.get("hard_prompt", ()))].append(it)
+        CHUNK = min(args.batch, 64)
+        for h, group in groups.items():
+            for s in range(0, len(group), CHUNK):
+                chunk = group[s : s + CHUNK]
+                padded = chunk + [chunk[-1]] * (CHUNK - len(chunk))
+                prefix = jnp.asarray(np.stack([it["prefix"] for it in padded]))
+                hp = (jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
+                      if h else None)
+                emb = caption_embeddings(params, ccfg, prefix, hp)
+                for b, it in enumerate(chunk):
+                    key2prefix[it["audio_id"]] = [get_prefix_tokens(
+                        np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
+                if args.isbeam:
+                    toks, lens, scores = beam_search_batched(
+                        params["gpt2"], ccfg.gpt2, emb, args.beam_size, 67, stop_id
+                    )
+                    toks, lens, scores = (np.asarray(toks), np.asarray(lens),
+                                          np.asarray(scores))
+                    for b, it in enumerate(chunk):
+                        k = int(np.argmax(scores[b]))
+                        ids = list(toks[b, k][: int(lens[b, k])])
+                        key2pred[it["audio_id"]] = [tokenizer.decode(ids).lower()]
+                else:
+                    toks, lens = greedy_decode(
+                        params["gpt2"], ccfg.gpt2, emb, 67, stop_id, 764
+                    )
+                    toks, lens = np.asarray(toks), np.asarray(lens)
+                    for b, it in enumerate(chunk):
+                        ids = list(toks[b][: int(lens[b])])
+                        key2pred[it["audio_id"]] = [tokenizer.decode(ids).lower()]
 
     scores = eval_prediction(key2refs, key2pred)
 
