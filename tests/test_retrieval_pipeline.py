@@ -223,15 +223,22 @@ def test_preemption_guard_checkpoints(tmp_path):
     vocab = _mk_corpus(root, n_audio=8)
     cfg_path = _mk_config(root, vocab)
     code = textwrap.dedent(f"""
-        import os, signal, threading
+        import glob, os, signal, threading, time
         os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
         import jax; jax.config.update('jax_platforms', 'cpu')
         pid = os.getpid()
-        threading.Timer(25.0, lambda: os.kill(pid, signal.SIGTERM)).start()
+        def killer():
+            # wait until the run's logger exists (the guard installs just
+            # after it), then preempt — robust to machine load.
+            while not glob.glob('{root}/outputs/*/logging/output.log'):
+                time.sleep(0.5)
+            time.sleep(8.0)
+            os.kill(pid, signal.SIGTERM)
+        threading.Thread(target=killer, daemon=True).start()
         from zs_aac_tpu.train.pretrain import main
         main(['-c', '{cfg_path}', '--epochs', '500', '--max_val_batches', '1'])
     """)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
-                       timeout=300)
+                       timeout=580)
     found = list(__import__("pathlib").Path(root).rglob("preempt_model.ckpt"))
     assert found, f"no preemption checkpoint; stderr: {r.stderr[-800:]}"

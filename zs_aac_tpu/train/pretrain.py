@@ -211,6 +211,13 @@ def main(argv=None):
         setup_seed,
     )
 
+    from zs_aac_tpu.utils.preemption import PreemptionGuard
+
+    # Install the preemption handler before any long compile: a SIGTERM
+    # during setup still lands as a flag, and the loop checkpoints+exits at
+    # its first step boundary.
+    guard = PreemptionGuard()
+
     seed = config.get("seed", 20) + jax.process_index()
     setup_seed(seed)
 
@@ -275,9 +282,6 @@ def main(argv=None):
             config, ds_name, tokenizer, config.get("data_root", "data")
         )
 
-    from zs_aac_tpu.utils.preemption import PreemptionGuard
-
-    guard = PreemptionGuard()
     rng = jax.random.key(seed + 1)
     best_loss = float("inf")
     best_recall = {k: -1.0 for k in val_modules}
