@@ -133,3 +133,45 @@ def test_kv_cache_decode_matches_full_forward():
         np.testing.assert_allclose(
             np.asarray(step_logits), np.asarray(full[:, 5 + t]), rtol=1e-4, atol=1e-4
         )
+
+
+def test_gpt2_text_encoder_matches_hf():
+    from zs_aac_tpu.models.text_towers import (
+        GPT2EncoderConfig,
+        GPT2TextEncoder,
+        convert_gpt2_encoder,
+    )
+
+    cfg = GPT2EncoderConfig(vocab_size=97, n_positions=64, n_embd=32,
+                            n_layer=2, n_head=4)
+    tm = _hf_gpt2()  # GPT2LMHeadModel with the same dims
+    variables = convert_gpt2_encoder(tm.state_dict(), cfg)
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 97, (2, 7))
+    mask = np.ones((2, 7), np.int64)
+    mask[1, 4:] = 0
+    with torch.no_grad():
+        want = tm.transformer(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        GPT2TextEncoder(cfg).apply(variables, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    for b in range(2):
+        L = int(mask[b].sum())
+        np.testing.assert_allclose(got[b, :L], want[b, :L], rtol=2e-4, atol=2e-4)
+
+
+def test_ase_with_gpt2_text_tower():
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+
+    ase = ASE(ASEConfig(embed_size=8, audio_channels=(4, 8),
+                        text_model="gpt2-tiny", spec_augmentation=False))
+    v = jax.jit(lambda r: ase.init(
+        {"params": r}, jnp.zeros((2, 51, 64)), jnp.zeros((2, 8), jnp.int32),
+        jnp.ones((2, 8), jnp.int32), jnp.arange(2), train=False,
+    ))(jax.random.key(0))
+    emb = ase.apply(v, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32),
+                    train=False, method=ASE.encode_text)
+    assert emb.shape == (2, 8)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5)

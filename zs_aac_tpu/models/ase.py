@@ -62,6 +62,15 @@ TEXT_MODEL_REGISTRY = {
                                     intermediate_size=3072),
 }
 
+# GPT-2 family text towers (registry rows 'gpt2'/'distilgpt2',
+# text_encoder.py:27-28) — built by models.text_towers.GPT2TextEncoder.
+GPT2_TEXT_REGISTRY = {
+    "gpt2": dict(n_layer=12, n_embd=768, n_head=12),
+    "distilgpt2": dict(n_layer=6, n_embd=768, n_head=12),
+    "gpt2-tiny": dict(vocab_size=256, n_positions=64, n_layer=2, n_embd=32,
+                      n_head=4),  # tests
+}
+
 
 def text_config(name: str) -> BertConfig:
     return BertConfig(**TEXT_MODEL_REGISTRY[name])
@@ -143,7 +152,16 @@ class ASE(nn.Module):
             )
         else:
             raise ValueError(f"unknown audio encoder {c.audio_encoder!r}")
-        self.text_enc = BertEncoder(text_config(c.text_model), dtype=c.dtype, name="text_enc")
+        if c.text_model in GPT2_TEXT_REGISTRY:
+            from zs_aac_tpu.models.text_towers import GPT2EncoderConfig, GPT2TextEncoder
+
+            self.text_enc = GPT2TextEncoder(
+                GPT2EncoderConfig(**GPT2_TEXT_REGISTRY[c.text_model]),
+                dtype=c.dtype, name="text_enc",
+            )
+        else:
+            self.text_enc = BertEncoder(text_config(c.text_model), dtype=c.dtype,
+                                        name="text_enc")
         self.audio_proj = _Proj(c.embed_size, c.dtype, name="audio_proj")
         self.text_proj = _Proj(c.embed_size, c.dtype, name="text_proj")
         self.temp = self.param("temp", lambda _: jnp.asarray(c.temp, jnp.float32))

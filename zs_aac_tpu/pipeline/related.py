@@ -57,13 +57,36 @@ def attach_related(
         import jax
         import jax.numpy as jnp
 
-        bank_d = jnp.asarray(bank)
+        n_valid = bank.shape[0]
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n_valid >= n_dev:
+            # Shard the bank rows over the device mesh; queries replicate.
+            # XLA turns the top-k over the sharded similarity axis into
+            # local top-ks + a gather — the multichip bank scan.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from zs_aac_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            pad = (-n_valid) % n_dev
+            bank_d = jax.device_put(
+                jnp.asarray(np.pad(bank, ((0, pad), (0, 0)))),
+                NamedSharding(mesh, P("data")),
+            )
+        else:
+            bank_d = jnp.asarray(bank)
 
         @jax.jit
-        def topk(q):
-            sims = q @ bank_d.T
+        def _topk(q, bank_arr):  # bank as an argument, never a jit constant
+            sims = q @ bank_arr.T
+            # padded rows can never win
+            col = jnp.arange(bank_arr.shape[0])
+            sims = jnp.where(col[None, :] < n_valid, sims, -jnp.inf)
             _, idx = jax.lax.top_k(sims, topnumber)
             return idx
+
+        def topk(q):
+            return _topk(q, bank_d)
 
     for s in range(0, len(records), batch):
         chunk = records[s : s + batch]
