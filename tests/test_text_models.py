@@ -175,3 +175,53 @@ def test_ase_with_gpt2_text_tower():
                     train=False, method=ASE.encode_text)
     assert emb.shape == (2, 8)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5)
+
+
+def test_clip_text_encoder_matches_hf():
+    import transformers
+
+    from zs_aac_tpu.models.text_towers import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+        convert_clip_text,
+    )
+
+    cfg = CLIPTextConfig(vocab_size=128, hidden_size=32, n_layer=2, n_head=4,
+                         intermediate_size=64, max_positions=32)
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.n_layer, num_attention_heads=cfg.n_head,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_positions,
+        attention_dropout=0.0, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(3)
+    tm = transformers.CLIPTextModel(hf_cfg).eval()
+    variables = convert_clip_text(tm.state_dict(), cfg)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 128, (2, 9))
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+    with torch.no_grad():
+        want = tm(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    got = np.asarray(
+        CLIPTextEncoder(cfg).apply(variables, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    for b in range(2):
+        L = int(mask[b].sum())
+        np.testing.assert_allclose(got[b, :L], want[b, :L], rtol=3e-4, atol=3e-4)
+
+
+def test_ase_with_clip_text_tower():
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+
+    ase = ASE(ASEConfig(embed_size=8, audio_channels=(4, 8),
+                        text_model="clip-tiny", spec_augmentation=False))
+    v = jax.jit(lambda r: ase.init(
+        {"params": r}, jnp.zeros((2, 51, 64)), jnp.zeros((2, 8), jnp.int32),
+        jnp.ones((2, 8), jnp.int32), jnp.arange(2), train=False,
+    ))(jax.random.key(0))
+    emb = ase.apply(v, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32),
+                    train=False, method=ASE.encode_text)
+    assert emb.shape == (2, 8)

@@ -64,6 +64,12 @@ TEXT_MODEL_REGISTRY = {
 
 # GPT-2 family text towers (registry rows 'gpt2'/'distilgpt2',
 # text_encoder.py:27-28) — built by models.text_towers.GPT2TextEncoder.
+CLIP_TEXT_REGISTRY = {
+    "openai/clip-vit-base-patch32": dict(),
+    "clip-tiny": dict(vocab_size=128, hidden_size=32, n_layer=2, n_head=4,
+                      intermediate_size=64, max_positions=32),  # tests
+}
+
 GPT2_TEXT_REGISTRY = {
     "gpt2": dict(n_layer=12, n_embd=768, n_head=12),
     "distilgpt2": dict(n_layer=6, n_embd=768, n_head=12),
@@ -152,7 +158,14 @@ class ASE(nn.Module):
             )
         else:
             raise ValueError(f"unknown audio encoder {c.audio_encoder!r}")
-        if c.text_model in GPT2_TEXT_REGISTRY:
+        if c.text_model in CLIP_TEXT_REGISTRY:
+            from zs_aac_tpu.models.text_towers import CLIPTextConfig, CLIPTextEncoder
+
+            self.text_enc = CLIPTextEncoder(
+                CLIPTextConfig(**CLIP_TEXT_REGISTRY[c.text_model]),
+                dtype=c.dtype, name="text_enc",
+            )
+        elif c.text_model in GPT2_TEXT_REGISTRY:
             from zs_aac_tpu.models.text_towers import GPT2EncoderConfig, GPT2TextEncoder
 
             self.text_enc = GPT2TextEncoder(

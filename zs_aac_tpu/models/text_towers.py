@@ -19,7 +19,8 @@ import numpy as np
 
 from zs_aac_tpu.models.convert import to_numpy_state_dict
 
-__all__ = ["GPT2EncoderConfig", "GPT2TextEncoder", "convert_gpt2_encoder"]
+__all__ = ["GPT2EncoderConfig", "GPT2TextEncoder", "convert_gpt2_encoder",
+           "CLIPTextConfig", "CLIPTextEncoder", "convert_clip_text"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,5 +111,113 @@ def convert_gpt2_encoder(state_dict, cfg: GPT2EncoderConfig) -> dict:
             "c_proj": cv(f"h.{i}.attn.c_proj"),
             "c_fc": cv(f"h.{i}.mlp.c_fc"),
             "mlp_proj": cv(f"h.{i}.mlp.c_proj"),
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# CLIP text tower ('openai/clip-vit-base-patch32', text_encoder.py:23)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 512
+    n_layer: int = 12
+    n_head: int = 8
+    intermediate_size: int = 2048
+    max_positions: int = 77
+    layer_norm_eps: float = 1e-5
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class _CLIPBlock(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias):
+        c = self.cfg
+        B, L, D = x.shape
+        nh, d = c.n_head, c.hidden_size // c.n_head
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm1")(x)
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(h)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(h)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(h)
+        q = q.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+        att = nn.softmax(att + bias, axis=-1)
+        a = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, L, D)
+        x = x + nn.Dense(D, dtype=self.dtype, name="out_proj")(a)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="layer_norm2")(x)
+        h = _quick_gelu(nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h))
+        return x + nn.Dense(D, dtype=self.dtype, name="fc2")(h)
+
+
+class CLIPTextEncoder(nn.Module):
+    """HF ``CLIPTextModel`` semantics: causal + padding mask, final LN,
+    returns last hidden states."""
+
+    cfg: CLIPTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
+        c = self.cfg
+        B, L = input_ids.shape
+        x = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                     name="token_embedding")(input_ids)
+        x = x + nn.Embed(c.max_positions, c.hidden_size, dtype=self.dtype,
+                         name="position_embedding")(jnp.arange(L)[None, :])
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        bias = jnp.where(causal, 0.0, -1e9)[None, None]
+        if attention_mask is not None:
+            bias = bias + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        bias = bias.astype(self.dtype)
+        for i in range(c.n_layer):
+            x = _CLIPBlock(c, self.dtype, name=f"layer{i}")(x, bias)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="final_layer_norm")(x)
+
+
+def convert_clip_text(state_dict, cfg: CLIPTextConfig) -> dict:
+    """HF ``CLIPTextModel`` state_dict -> variables."""
+    from zs_aac_tpu.models.convert import linear_kernel
+
+    sd = to_numpy_state_dict(state_dict)
+    sd = {k.removeprefix("text_model."): v for k, v in sd.items()}
+
+    def dense(prefix):
+        return {"kernel": linear_kernel(sd[prefix + ".weight"]),
+                "bias": sd[prefix + ".bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    p = {
+        "token_embedding": {"embedding": sd["embeddings.token_embedding.weight"]},
+        "position_embedding": {
+            "embedding": sd["embeddings.position_embedding.weight"]},
+        "final_layer_norm": ln("final_layer_norm"),
+    }
+    for i in range(cfg.n_layer):
+        src = f"encoder.layers.{i}"
+        p[f"layer{i}"] = {
+            "layer_norm1": ln(f"{src}.layer_norm1"),
+            "layer_norm2": ln(f"{src}.layer_norm2"),
+            "q_proj": dense(f"{src}.self_attn.q_proj"),
+            "k_proj": dense(f"{src}.self_attn.k_proj"),
+            "v_proj": dense(f"{src}.self_attn.v_proj"),
+            "out_proj": dense(f"{src}.self_attn.out_proj"),
+            "fc1": dense(f"{src}.mlp.fc1"),
+            "fc2": dense(f"{src}.mlp.fc2"),
         }
     return {"params": p}
