@@ -64,3 +64,43 @@ def shard_gpt2_params(params: dict, mesh: Mesh, model_axis: str = "model") -> di
     """Place GPT-2 params with TP shardings."""
     sh = gpt2_tp_shardings(mesh, params, model_axis)
     return jax.tree.map(jax.device_put, params, sh)
+
+
+def mistral_tp_shardings(mesh: Mesh, params: dict, model_axis: str = "model") -> dict:
+    """Megatron-style TP for the Mistral decoder (the 7B model that actually
+    needs multiple chips: bf16 weights alone are ~14 GB vs 16 GB HBM/v5e).
+
+    - wq/wk/wv, gate/up -> column-parallel P(None, 'model')
+    - wo, down          -> row-parallel    P('model', None)
+    - embed, lm_head    -> vocab/row sharded
+    - norms             -> replicated
+    """
+
+    def rep():
+        return NamedSharding(mesh, P())
+
+    def col():
+        return NamedSharding(mesh, P(None, model_axis))
+
+    def row():
+        return NamedSharding(mesh, P(model_axis, None))
+
+    def layer(_):
+        return {
+            "attn": {"wq": col(), "wk": col(), "wv": col(), "wo": row()},
+            "mlp": {"gate": col(), "up": col(), "down": row()},
+            "ln1": rep(),
+            "ln2": rep(),
+        }
+
+    return {
+        "embed": NamedSharding(mesh, P(model_axis, None)),
+        "layers": [layer(i) for i in range(len(params["layers"]))],
+        "norm": rep(),
+        "lm_head": col(),
+    }
+
+
+def shard_mistral_params(params: dict, mesh: Mesh, model_axis: str = "model") -> dict:
+    sh = mistral_tp_shardings(mesh, params, model_axis)
+    return jax.tree.map(jax.device_put, params, sh)
