@@ -66,17 +66,26 @@ def load_ase_encoders(config: dict, ckpt: Optional[str] = None):
     if path and os.path.exists(path):
         state = restore_model_only(path, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if config.get("compute_dtype") == "bfloat16":
+        # inference-only cast: 1.4x embedding-gen throughput on v5e
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables,
+        )
     enc_a, enc_t = make_encode_fns(ase, mel_cfg, mel_impl=config.get("mel_impl", "pallas")
                                    if jax.default_backend() == "tpu" else "xla")
 
     def encode_audio(waves: np.ndarray) -> np.ndarray:
-        return np.asarray(enc_a(variables, jnp.asarray(waves)))
+        return np.asarray(enc_a(variables, jnp.asarray(waves))).astype(np.float32)
 
     def encode_text(texts: Sequence[str]) -> np.ndarray:
         ids, mask = tokenizer.batch_encode(
             [text_preprocess(t) for t in texts], max_length=30, pad_to_max=True
         )
-        return np.asarray(enc_t(variables, jnp.asarray(ids), jnp.asarray(mask)))
+        return np.asarray(
+            enc_t(variables, jnp.asarray(ids), jnp.asarray(mask))
+        ).astype(np.float32)
 
     return encode_audio, encode_text
 

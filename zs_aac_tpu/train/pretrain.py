@@ -94,6 +94,8 @@ def apply_freeze(optimizer, config):
 
 
 def build_ase_from_config(config: dict):
+    import jax.numpy as jnp
+
     from zs_aac_tpu.models.ase import ASE, ASEConfig
 
     enc_args = config.get("audio_encoder_args", {})
@@ -111,6 +113,8 @@ def build_ase_from_config(config: dict):
         spec_augmentation=config.get("training", {}).get("spec_augmentation", True),
         audio_channels=tuple(config["audio_channels"]) if config.get("audio_channels")
         else None,
+        dtype=jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
+        else jnp.float32,
     )
     return ASE(cfg), cfg
 
