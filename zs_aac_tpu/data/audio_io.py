@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import math
 import os
-import struct
 import wave
 from typing import Optional, Tuple
 

@@ -20,7 +20,7 @@ mmap-able) as the TPU-native fast path; both formats interconvert.
 from __future__ import annotations
 
 import pickle
-from typing import Dict, Iterable, Iterator, List, Optional
+from typing import Dict, Iterable, Iterator, List
 
 import numpy as np
 

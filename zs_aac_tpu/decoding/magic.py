@@ -128,8 +128,6 @@ def _load_ase_text_encoder(path: str):
         jnp.ones((1, 8), jnp.int32), jnp.arange(1), train=False,
     )
     variables = load_params(path, variables)
-    from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer  # noqa: F401
-
     bert_tok = meta.get("bert_tokenizer")
     if bert_tok is None:
         raise ValueError("ASE checkpoint sidecar must name its bert_tokenizer")

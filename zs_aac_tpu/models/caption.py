@@ -20,7 +20,7 @@ reference: [sound_effects | hard_prompt | soft_prefix | text].
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ published checkpoints convert without transposes; see ``convert_gpt2``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

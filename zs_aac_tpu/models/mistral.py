@@ -18,7 +18,7 @@ KV-cached prefill/step mirror ``models.gpt2``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -90,13 +90,6 @@ def _lora_matmul(x, w, lora: Optional[Dict], scale):
     return out
 
 
-def _get(lora, layer_idx, name):
-    if lora is None:
-        return None
-    entry = lora["layers"][layer_idx] if layer_idx is not None else lora
-    return entry.get(name)
-
-
 def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale,
                cache_kv=None, cache_index=None):
     B, L, D = x.shape
@@ -138,8 +131,6 @@ def _mlp(p, x, lora, scale):
 
 def _causal_bias(L, offset, window, dtype):
     q = jnp.arange(L)[:, None] + offset
-    k = jnp.arange(L)[None, :] + 0
-    # full-sequence path: keys at absolute positions 0..L-1
     kpos = jnp.arange(L)[None, :]
     ok = (kpos <= q) & (kpos > q - window)
     return jnp.where(ok, 0.0, -1e9).astype(dtype)[None, None]

@@ -19,7 +19,6 @@ selected example's own embedding joins the pool.
 from __future__ import annotations
 
 import argparse
-import json
 import random
 import re
 from typing import Callable, Iterable, List, Optional, Sequence, Set

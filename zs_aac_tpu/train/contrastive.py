@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from zs_aac_tpu.models.ase import ASE, ASEConfig
+from zs_aac_tpu.models.ase import ASE
 from zs_aac_tpu.ops.logmel import LogMelConfig, log_mel_xla
 
 __all__ = ["ASETrainState", "create_ase_state", "make_ase_train_step", "make_encode_fns"]

@@ -43,7 +43,6 @@ def main(argv=None):
         config["training"]["epochs"] = args.epochs
 
     import jax
-    import jax.numpy as jnp
 
     from zs_aac_tpu.data.bert_tokenizer import WordPieceTokenizer
     from zs_aac_tpu.data.retrieval_data import AudioCaptionDataModule

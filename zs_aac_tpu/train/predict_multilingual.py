@@ -50,7 +50,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from zs_aac_tpu.data.datasets import CaptionBankTestDataset, CaptionDatasetConfig
     from zs_aac_tpu.eval.captioning import eval_prediction

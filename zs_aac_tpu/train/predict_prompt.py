@@ -56,7 +56,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from zs_aac_tpu.data.datasets import CaptionBankTestDataset, CaptionDatasetConfig
-    from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer, WordTokenizer
+    from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer
     from zs_aac_tpu.decoding.beam import beam_search_batched
     from zs_aac_tpu.decoding.greedy import greedy_decode
     from zs_aac_tpu.eval.captioning import eval_prediction
@@ -65,7 +65,6 @@ def main(argv=None):
         caption_embeddings,
         init_caption_model,
     )
-    from zs_aac_tpu.models.gpt2 import GPT2Config
     from zs_aac_tpu.utils.checkpoints import load_params
     import jax
 

@@ -234,7 +234,7 @@ def main(argv=None):
     run = wandb.init(project=exp_name, config=config) if wandb else None
 
     tokenizer = WordPieceTokenizer.from_file(config["text_encoder_args"]["vocab"])
-    ase, ase_cfg = build_ase_from_config(config)
+    ase, _ = build_ase_from_config(config)
     mel_cfg = LogMelConfig.from_dict(config["audio_args"])
 
     dataset = AudioLanguagePretrainDataset(

@@ -80,7 +80,6 @@ def restore_model_only(path: str, template: Any) -> Any:
     import dataclasses
 
     import orbax.checkpoint as ocp
-    from orbax.checkpoint import checkpoint_utils  # noqa: F401
 
     want = {"params": template.params}
     if hasattr(template, "batch_stats"):

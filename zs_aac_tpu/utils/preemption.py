@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import signal
 import sys
-from typing import Optional
-
 __all__ = ["PreemptionGuard"]
 
 

@@ -8,7 +8,7 @@ and the device-picking helper (cuda-index clamp -> TPU/device-count clamp).
 from __future__ import annotations
 
 import sys
-from typing import Callable, Dict, List, Optional, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import jax
 import numpy as np
