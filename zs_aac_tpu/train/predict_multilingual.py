@@ -87,7 +87,7 @@ def main(argv=None):
 
     ccfg = MistralCaptionConfig(
         prefix_length=saved["prefix_length"],
-        prefix_size=1024 if saved.get("is_rn") else 512,
+        prefix_size=saved.get("prefix_dim") or (1024 if saved.get("is_rn") else 512),
         clip_length=saved.get("prefix_length_clip", saved["prefix_length"]),
         num_layers=saved.get("num_layers", 8),
         mapping_type=saved.get("mapping_type", "mlp"),

@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise_variance", type=float, default=0.0)
     p.add_argument("--mapping_type", type=str, default="mlp")
     p.add_argument("--is_rn", action="store_true")
+    p.add_argument("--prefix_dim", type=int, default=None,
+                   help="CLAP embedding dim; default follows the reference "
+                        "(1024 with --is_rn else 512, train_prompt.py:237)")
     p.add_argument("--only_prefix", action="store_true")
     p.add_argument("--only_soft_prompt", action="store_true")
     p.add_argument("--use_sound_effect", action="store_true")
@@ -194,7 +197,7 @@ def main(argv=None):
     val_ds = CaptionBankTestDataset(args.valdata, tokenizer, dcfg)
     key2refs = val_ds.references()
 
-    prefix_dim = 1024 if args.is_rn else 512
+    prefix_dim = args.prefix_dim or (1024 if args.is_rn else 512)
     ccfg = CaptionConfig(
         prefix_length=args.prefix_length,
         prefix_size=prefix_dim,

@@ -52,6 +52,9 @@ def build_parser():
     p.add_argument("--noise_variance", type=float, default=0.0)
     p.add_argument("--mapping_type", default="mlp")
     p.add_argument("--is_rn", action="store_true")
+    p.add_argument("--prefix_dim", type=int, default=None,
+                   help="CLAP embedding dim; default follows the reference "
+                        "(1024 with --is_rn else 512, train_prompt.py:237)")
     p.add_argument("--only_soft_prompt", action="store_true")
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=int, default=16)
@@ -156,7 +159,7 @@ def main(argv=None):
     val_ds = CaptionBankTestDataset(args.valdata, tokenizer, dcfg)
     key2refs = val_ds.references()
 
-    prefix_dim = 1024 if args.is_rn else 512
+    prefix_dim = args.prefix_dim or (1024 if args.is_rn else 512)
     ccfg = MistralCaptionConfig(
         prefix_length=args.prefix_length,
         prefix_size=prefix_dim,
