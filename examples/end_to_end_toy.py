@@ -119,7 +119,7 @@ def main():
                        "optimizer_name": "adam", "betas": [0.9, 0.999],
                        "eps": 1e-8, "momentum": 0.9, "warmup_epochs": 0,
                        "weight_decay": 0.0},
-        "training": {"spec_augmentation": False, "epochs": 16, "clip_grad": 2,
+        "training": {"spec_augmentation": False, "epochs": 100, "clip_grad": 2,
                      "dropout": 0.2},
     }
     cfg_path = os.path.join(root, "config.yaml")
@@ -157,7 +157,7 @@ def main():
         os.path.join(root, "banks", "test", "clap_embedding", "ZS", "data.pkl"),
         "--out_dir", os.path.join(root, "caption_runs"),
         "--sound_effect", label_bank,
-        "--bs", "8", "--epochs", "30", "--warmup", "0", "--val_interval", "30",
+        "--bs", "8", "--epochs", "100", "--warmup", "0", "--val_interval", "100",
         "--lr", "3e-3",
         "--gpt2_size", "tiny", "--prefix_length", "4",
         "--prefix_length_clip", "4", "--noise_variance", "0.016",
