@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--entry-length", type=int, default=67)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--measure-cpu", action="store_true")
+    ap.add_argument("--q8", action="store_true",
+                    help="int8 KV cache (~+22%% throughput; token agreement "
+                         "vs bf16 should be re-validated on trained weights)")
     args = ap.parse_args()
 
     baseline = CPU_REFERENCE_CAPTIONS_PER_SEC
@@ -63,9 +66,15 @@ def main():
 
     import numpy as np
     import jax
+
+    try:  # persistent compile cache: the driver re-runs bench every round
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
-    from zs_aac_tpu.decoding.greedy import greedy_decode
+    from zs_aac_tpu.decoding.greedy import greedy_decode, greedy_decode_q8
     from zs_aac_tpu.models.caption import CaptionConfig, caption_embeddings, init_caption_model
     from zs_aac_tpu.models.gpt2 import GPT2Config
 
@@ -82,7 +91,8 @@ def main():
     def chained(emb, n):
         toks = None
         for _ in range(n):
-            toks, _ = greedy_decode(gp, cfg.gpt2, emb, args.entry_length, 13, 764)
+            decode = greedy_decode_q8 if args.q8 else greedy_decode
+            toks, _ = decode(gp, cfg.gpt2, emb, args.entry_length, 13, 764)
             emb = emb + (toks.sum() % 2).astype(emb.dtype) * 1e-9
         return toks
 

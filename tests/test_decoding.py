@@ -133,3 +133,15 @@ def test_batched_beam_matches_single():
             assert int(bl[b, k]) == L
             assert list(np.asarray(bt[b, k][:L])) == list(np.asarray(st[k][:L])), (b, k)
         np.testing.assert_allclose(np.asarray(bs[b]), np.asarray(ss), rtol=1e-4)
+
+
+def test_q8_cache_decode_agrees_with_bf16():
+    from zs_aac_tpu.decoding.greedy import greedy_decode_q8
+
+    params, prefix = _setup(6, b=4)
+    t_ref, l_ref = greedy_decode(params, CFG, prefix, 16, STOP, 764)
+    t_q8, l_q8 = greedy_decode_q8(params, CFG, prefix, 16, STOP, 764)
+    # int8 cache is an approximation; require strong agreement on this
+    # well-separated toy model
+    agree = (np.asarray(t_ref) == np.asarray(t_q8)).mean()
+    assert agree > 0.9, (agree, np.asarray(t_ref), np.asarray(t_q8))

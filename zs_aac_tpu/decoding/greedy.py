@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_prefill, gpt2_step, init_kv_cache
 
-__all__ = ["greedy_decode", "mistral_greedy_decode"]
+__all__ = ["greedy_decode", "greedy_decode_q8", "mistral_greedy_decode"]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
@@ -115,6 +115,47 @@ def mistral_greedy_decode(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         finished = finished | (nxt == eos_token_id)
         return i + 1, tokens, cache, finished, nxt, lengths
+
+    _, tokens, _, _, _, lengths = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)
+    )
+    return tokens, lengths
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
+def greedy_decode_q8(
+    params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,
+    entry_length: int = 67,
+    stop_token_id: int = 13,
+    extra_stop_id: int = 764,
+):
+    """Greedy decode over the int8-quantized KV cache (serving fast path;
+    token agreement vs the bf16 path is validated in tests)."""
+    from zs_aac_tpu.models.gpt2 import gpt2_prefill_q8, gpt2_step_q8, init_kv_cache_q8
+
+    B, Lp, _ = prefix_embeds.shape
+    cache = init_kv_cache_q8(cfg, B, Lp + entry_length)
+    logits, cache = gpt2_prefill_q8(params, cfg, prefix_embeds, cache)
+    cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.zeros((B, entry_length), jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+    lengths0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return (i < entry_length) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, cache, finished, cur, lengths = state
+        tokens = tokens.at[:, i].set(jnp.where(finished, 0, cur))
+        lengths = lengths + (~finished).astype(jnp.int32)
+        now_stopped = finished | (cur == stop_token_id) | (cur == extra_stop_id)
+        logits, cache = gpt2_step_q8(params, cfg, gpt2_embed(params, cur), cache, Lp + i)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return i + 1, tokens, cache, now_stopped, nxt, lengths
 
     _, tokens, _, _, _, lengths = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)

@@ -289,3 +289,87 @@ def init_gpt2(rng: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> dict:
         "h": h,
         "ln_f": lnp(D),
     }
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized KV cache (serving fast path)
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache_q8(cfg: GPT2Config, batch: int, max_len: int):
+    """Per-vector-symmetric int8 KV cache: halves decode's dominant HBM
+    stream (cache reads) vs bf16. Scales are per (layer, batch, head, pos)."""
+    d = cfg.n_embd // cfg.n_head
+    shape = (cfg.n_layer, batch, cfg.n_head, max_len, d)
+    sshape = (cfg.n_layer, batch, cfg.n_head, max_len)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, jnp.float32),
+        "v_scale": jnp.zeros(sshape, jnp.float32),
+    }
+
+
+def _quantize_vec(x):
+    """x [..., d] -> (int8 values, fp32 scale[...])."""
+    scale = jnp.max(jnp.abs(x), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def gpt2_prefill_q8(params, cfg: GPT2Config, inputs_embeds, cache):
+    """Prefill then quantize the prompt's K/V into the int8 cache."""
+    tmp = init_kv_cache(cfg, inputs_embeds.shape[0], cache["k"].shape[3],
+                        inputs_embeds.dtype)
+    logits, full = gpt2_prefill(params, cfg, inputs_embeds, tmp)
+    qk, sk = _quantize_vec(full["k"].astype(jnp.float32))
+    qv, sv = _quantize_vec(full["v"].astype(jnp.float32))
+    return logits, {"k": qk, "v": qv, "k_scale": sk, "v_scale": sv}
+
+
+def gpt2_step_q8(params, cfg: GPT2Config, x_embed, cache, index):
+    """One cached decode step over the int8 cache. The dequantization is
+    folded into the attention contractions (scale the logits by k-scales,
+    scale the probabilities by v-scales) so no dequantized cache tensor is
+    ever materialized."""
+    B, D = x_embed.shape
+    x = (x_embed + params["wpe"][index])[:, None]
+
+    T = cache["k"].shape[3]
+    valid = (jnp.arange(T) <= index)[None, None, None]
+    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    ck_all, cv_all = cache["k"], cache["v"]
+    sk_all, sv_all = cache["k_scale"], cache["v_scale"]
+    for i in range(cfg.n_layer):
+        blk = params["h"][i]
+        h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
+        qkv = h @ blk["attn"]["c_attn"]["w"] + blk["attn"]["c_attn"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, cfg.n_head)
+        k = _split_heads(k, cfg.n_head)[:, :, 0]  # [B, H, d]
+        v = _split_heads(v, cfg.n_head)[:, :, 0]
+        qk_, sk_ = _quantize_vec(k.astype(jnp.float32))
+        qv_, sv_ = _quantize_vec(v.astype(jnp.float32))
+        ck_all = ck_all.at[i, :, :, index].set(qk_)
+        cv_all = cv_all.at[i, :, :, index].set(qv_)
+        sk_all = sk_all.at[i, :, :, index].set(sk_)
+        sv_all = sv_all.at[i, :, :, index].set(sv_)
+
+        d = cfg.n_embd // cfg.n_head
+        att = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, ck_all[i].astype(x.dtype)
+        ) * (sk_all[i][:, :, None, :] / np.sqrt(d)).astype(x.dtype)
+        att = jax.nn.softmax((att.astype(jnp.float32) + bias), axis=-1)
+        p = (att * sv_all[i][:, :, None, :]).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, cv_all[i].astype(x.dtype))
+        o = _merge_heads(o) @ blk["attn"]["c_proj"]["w"] + blk["attn"]["c_proj"]["b"]
+        x = x + o
+        h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
+        h = _gelu_new(h @ blk["mlp"]["c_fc"]["w"] + blk["mlp"]["c_fc"]["b"])
+        x = x + (h @ blk["mlp"]["c_proj"]["w"] + blk["mlp"]["c_proj"]["b"])
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = (x @ params["wte"].T)[:, 0].astype(jnp.float32)
+    return logits, {"k": ck_all, "v": cv_all, "k_scale": sk_all, "v_scale": sv_all}
