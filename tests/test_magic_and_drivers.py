@@ -176,3 +176,56 @@ def test_generate_beam_magic():
         entry_length=8, stop_token_id=STOP,
     )
     assert cands == cands2
+
+
+def test_only_prefix_freezes_gpt2():
+    from zs_aac_tpu.models.caption import CaptionConfig
+    from zs_aac_tpu.models.gpt2 import GPT2Config
+    from zs_aac_tpu.train.caption_trainer import (
+        create_caption_state,
+        make_caption_optimizer,
+        make_caption_train_step,
+    )
+    from zs_aac_tpu.train.optim import linear_warmup_lr
+
+    cfg = CaptionConfig(prefix_length=4, prefix_size=16, clip_length=4,
+                        only_prefix=True, gpt2=GPT2Config(
+                            vocab_size=64, n_positions=64, n_embd=32,
+                            n_layer=2, n_head=4))
+    opt = make_caption_optimizer(cfg, linear_warmup_lr(1e-3, 0, 10))
+    state = create_caption_state(jax.random.key(0), cfg, opt)
+    step = make_caption_train_step(cfg, opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": jnp.asarray(rng.integers(1, 60, (4, 8))),
+        "mask": jnp.ones((4, 12), jnp.float32),
+        "prefix": jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32)),
+    }
+    new_state, loss = step(state, batch, jax.random.key(1))
+    new_state, loss = step(new_state, batch, jax.random.key(1))
+    gdiff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.params["gpt2"], new_state.params["gpt2"])
+    mdiff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.params["mapper"], new_state.params["mapper"])
+    assert max(jax.tree.leaves(gdiff)) == 0.0  # GPT-2 frozen
+    assert max(jax.tree.leaves(mdiff)) > 0.0   # mapper trains
+
+
+def test_train_prompt_data_parallel_flag(tmp_path):
+    import jax
+
+    train_bank = str(tmp_path / "train.pkl")
+    test_bank = str(tmp_path / "test.pkl")
+    _mk_bank(train_bank, n=32)
+    _mk_bank(test_bank, n=2, seed=1, test=True)
+    from zs_aac_tpu.train.train_prompt import main as train_main
+
+    out_dir = train_main([
+        "--data", train_bank, "--valdata", test_bank,
+        "--out_dir", str(tmp_path / "runs"),
+        "--bs", "16", "--epochs", "1", "--warmup", "0",
+        "--val_interval", "100", "--gpt2_size", "tiny",
+        "--prefix_length", "4", "--prefix_length_clip", "4",
+        "--data_parallel",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "best.pth"))

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_interval", type=int, default=600)
     p.add_argument("--max_iters", type=int, default=None,
                    help="reproduce the reference's epochs*600 iteration cap")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all devices (the reference's "
+                        "captioner is single-device; this is an extension)")
     # model (train_prompt.py:202-214)
     p.add_argument("--prefix_length", type=int, default=10)
     p.add_argument("--prefix_length_clip", type=int, default=10)
@@ -231,6 +234,13 @@ def main(argv=None):
         state.params = load_params(args.ckpt_file, state.params)
     step_fn = make_caption_train_step(ccfg, optimizer, args.noise_variance)
 
+    mesh = None
+    if args.data_parallel:
+        from zs_aac_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+
+        mesh = make_mesh_for_batch(args.bs)
+        state = replicate(state, mesh)
+
     improved = criterion_improver("score")
     rng = jax.random.key(args.seed + 1)
     logger.info("%10s\t%10s\t%10s", "Epoch", "Train loss", "Val score")
@@ -241,6 +251,8 @@ def main(argv=None):
         losses = []
         for batch in caption_batches(dataset, args.bs, shuffle=True, seed=args.seed + epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             state, loss = step_fn(state, batch, rng)
             losses.append(float(loss))
             it += 1
