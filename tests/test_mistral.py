@@ -137,3 +137,28 @@ def test_mistral_caption_multilingual_alignment():
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(full[:, start:-1]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_mistral_tp_sharded_decode():
+    """Serving story: greedy decode with TP-sharded Mistral weights on the
+    8-device mesh must compile, run, and match the unsharded decode."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
+    from zs_aac_tpu.parallel.tp import shard_mistral_params
+
+    assert len(jax.devices()) == 8
+    params = init_mistral(jax.random.key(0), MCFG, jnp.float32)
+    lora = init_lora(jax.random.key(1), MCFG, r=2, alpha=4)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((2, 5, MCFG.hidden_size)).astype(np.float32) * 0.1)
+
+    t_ref, l_ref = mistral_greedy_decode(params, MCFG, emb, lora, 8, 2)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    sharded = shard_mistral_params(params, mesh)
+    t_tp, l_tp = mistral_greedy_decode(sharded, MCFG, emb, lora, 8, 2)
+
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_tp))
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_tp))
