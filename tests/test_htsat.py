@@ -137,3 +137,108 @@ def test_convert_htsat_structural():
         assert got_flat[path].shape == leaf.shape, f"shape mismatch at {path}"
     out = model.apply(variables, spec, train=False, return_dict=True)
     assert out["embedding"].shape == (1, nf)
+
+
+def test_swin_block_golden_vs_torch():
+    """Golden-activation test of one shifted Swin block (SURVEY.md §9's
+    'mandatory per-stage golden tests' for HTSAT fidelity): a generic torch
+    implementation of windowed attention with relative position bias and
+    the shifted-window mask, numerically compared against _SwinBlock with
+    converted weights."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    dim, heads, window, shift = 16, 4, 4, 2
+    H = W = 8
+    rng = np.random.default_rng(0)
+
+    class TorchSwinBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(dim)
+            self.qkv = tnn.Linear(dim, dim * 3)
+            self.proj = tnn.Linear(dim, dim)
+            self.rpb = tnn.Parameter(
+                torch.randn((2 * window - 1) ** 2, heads) * 0.02)
+            self.norm2 = tnn.LayerNorm(dim)
+            self.fc1 = tnn.Linear(dim, dim * 4)
+            self.fc2 = tnn.Linear(dim * 4, dim)
+            # relative position index (standard swin)
+            coords = torch.stack(torch.meshgrid(
+                torch.arange(window), torch.arange(window), indexing="ij"))
+            flat = torch.flatten(coords, 1)
+            rel = flat[:, :, None] - flat[:, None, :]
+            rel = rel.permute(1, 2, 0).contiguous()
+            rel[:, :, 0] += window - 1
+            rel[:, :, 1] += window - 1
+            rel[:, :, 0] *= 2 * window - 1
+            self.register_buffer("rpi", rel.sum(-1))
+            # shifted-window attention mask
+            img = torch.zeros(1, H, W, 1)
+            cnt = 0
+            for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+                for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+                    img[:, hs, ws, :] = cnt
+                    cnt += 1
+            mw = img.view(1, H // window, window, W // window, window, 1)
+            mw = mw.permute(0, 1, 3, 2, 4, 5).reshape(-1, window * window)
+            am = mw.unsqueeze(1) - mw.unsqueeze(2)
+            self.register_buffer(
+                "attn_mask",
+                am.masked_fill(am != 0, float(-100.0)).masked_fill(am == 0, 0.0))
+
+        def forward(self, x):  # x: [B, H*W, C]
+            B, L, C = x.shape
+            shortcut = x
+            h = self.norm1(x).view(B, H, W, C)
+            h = torch.roll(h, (-shift, -shift), dims=(1, 2))
+            hw = h.view(B, H // window, window, W // window, window, C)
+            hw = hw.permute(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
+            B_, N, _ = hw.shape
+            qkv = self.qkv(hw).reshape(B_, N, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            att = (q * (C // heads) ** -0.5) @ k.transpose(-2, -1)
+            bias = self.rpb[self.rpi.view(-1)].view(N, N, heads).permute(2, 0, 1)
+            att = att + bias.unsqueeze(0)
+            nW = self.attn_mask.shape[0]
+            att = att.view(B_ // nW, nW, heads, N, N) + self.attn_mask.unsqueeze(1).unsqueeze(0)
+            att = att.view(-1, heads, N, N).softmax(-1)
+            out = (att @ v).transpose(1, 2).reshape(B_, N, C)
+            out = self.proj(out)
+            out = out.view(B, H // window, W // window, window, window, C)
+            out = out.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+            out = torch.roll(out, (shift, shift), dims=(1, 2)).view(B, L, C)
+            x = shortcut + out
+            return x + self.fc2(tF.gelu(self.fc1(self.norm2(x))))
+
+    torch.manual_seed(0)
+    tm = TorchSwinBlock().eval()
+    x = rng.standard_normal((2, H * W, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    from flax.traverse_util import unflatten_dict
+    from zs_aac_tpu.models.convert import linear_kernel
+    from zs_aac_tpu.models.htsat import _SwinBlock
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = unflatten_dict({
+        ("norm1", "scale"): sd["norm1.weight"],
+        ("norm1", "bias"): sd["norm1.bias"],
+        ("attn", "qkv", "kernel"): linear_kernel(sd["qkv.weight"]),
+        ("attn", "qkv", "bias"): sd["qkv.bias"],
+        ("attn", "proj", "kernel"): linear_kernel(sd["proj.weight"]),
+        ("attn", "proj", "bias"): sd["proj.bias"],
+        ("attn", "rpb_table"): sd["rpb"],
+        ("norm2", "scale"): sd["norm2.weight"],
+        ("norm2", "bias"): sd["norm2.bias"],
+        ("fc1", "kernel"): linear_kernel(sd["fc1.weight"]),
+        ("fc1", "bias"): sd["fc1.bias"],
+        ("fc2", "kernel"): linear_kernel(sd["fc2.weight"]),
+        ("fc2", "bias"): sd["fc2.bias"],
+    })
+    blk = _SwinBlock(dim=dim, input_resolution=(H, W), num_heads=heads,
+                     window=window, shift=shift, mlp_ratio=4.0, drop_path=0.0)
+    got = np.asarray(blk.apply({"params": params}, jnp.asarray(x), False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
