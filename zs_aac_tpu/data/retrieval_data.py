@@ -12,7 +12,10 @@ TPU-first deviations: batches are padded to the **bucket's upper edge**
 (static shapes per bucket, so the jitted train step compiles once per
 bucket instead of per batch-max length), and multi-host sharding is a
 ``process_index``-strided slice of the batch list instead of a
-DistributedSampler.
+DistributedSampler. Note on padding and BatchNorm: the reference's collate
+also zero-pads (to the batch max), so padded samples already leak into its
+BN statistics; bucket-edge padding only pads slightly further within the
+same bucket — same class of approximation, marginally more of it.
 """
 
 from __future__ import annotations
