@@ -229,3 +229,77 @@ def test_train_prompt_data_parallel_flag(tmp_path):
         "--data_parallel",
     ])
     assert os.path.exists(os.path.join(out_dir, "best.pth"))
+
+
+def _brute_magic(params, prefix, audio, score_fn, beam_width, alpha, beta,
+                 decoding_len, stop):
+    """Full-recompute MAGIC oracle: no KV cache, no probe step — the
+    reference's PlugAndPlayContrastiveDecodingOneStepFast semantics
+    (gpt2_prefix_eval.py:396-534) built directly on gpt2_forward."""
+    from zs_aac_tpu.models.gpt2 import gpt2_embed, gpt2_forward
+    from zs_aac_tpu.models.gpt2 import _ln  # post-ln_f hiddens for the penalty
+
+    def hiddens(emb):
+        # replicate gpt2_forward's trunk to expose post-ln_f hidden states
+        import jax.numpy as jnp
+        from zs_aac_tpu.models.gpt2 import _block
+        B, L, D = emb.shape
+        x = emb + params["wpe"][jnp.arange(L)][None]
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        bias = jnp.where(causal, 0.0, -1e9)[None, None].astype(x.dtype)
+        for i in range(GCFG.n_layer):
+            x, _ = _block(params["h"][i], GCFG, x, bias=bias)
+        return _ln(x, params["ln_f"], GCFG.layer_norm_epsilon)
+
+    emb = prefix
+    generated = []
+    for _ in range(decoding_len):
+        logits = gpt2_forward(params, GCFG, emb)[0, -1]
+        probs = np.asarray(jax.nn.softmax(logits))
+        top = np.argsort(-probs)[:beam_width]
+        h_ctx = np.asarray(hiddens(emb))[0]  # [L, D]
+        scores = np.zeros(beam_width)
+        for j, t in enumerate(top):
+            emb_j = jnp.concatenate(
+                [emb, gpt2_embed(params, jnp.asarray([[int(t)]]))], axis=1)
+            h_all = np.asarray(hiddens(emb_j))[0]
+            h_new = h_all[-1]
+            ctx = h_ctx / np.maximum(
+                np.linalg.norm(h_ctx, axis=-1, keepdims=True), 1e-12)
+            nh = h_new / max(np.linalg.norm(h_new), 1e-12)
+            deg = float((ctx @ nh).max())
+            scores[j] = (1 - alpha) * probs[t] - alpha * deg
+        clap = score_fn(audio, [generated + [int(t)] for t in top])
+        scores = scores + beta * np.asarray(clap)
+        sel = int(np.argmax(scores))
+        tok = int(top[sel])
+        generated.append(tok)
+        emb = jnp.concatenate(
+            [emb, gpt2_embed(params, jnp.asarray([[tok]]))], axis=1)
+        if tok == stop:
+            break
+    return generated
+
+
+def test_magic_search_matches_brute_force_oracle():
+    params = init_gpt2(jax.random.key(3), GCFG)
+    rng = np.random.default_rng(3)
+    prefix = jnp.asarray(rng.standard_normal((1, 4, GCFG.n_embd)).astype(np.float32))
+    audio = rng.standard_normal(16).astype(np.float32)
+    tok = WordTokenizer(["w%d" % i for i in range(48)])
+    emb_table = rng.standard_normal((50, 16)).astype(np.float32)
+
+    def fake_encode(texts):
+        out = []
+        for s in texts:
+            ids = [int(w[1:]) for w in s.split() if w.startswith("w")]
+            v = emb_table[ids].sum(0) if ids else np.zeros(16, np.float32)
+            out.append(v)
+        return np.stack(out)
+
+    scorer = make_magic_scorer(None, tok, encode_text_fn=fake_encode)
+    got = magic_search(params, GCFG, prefix, audio, scorer,
+                       beam_width=5, alpha=0.1, beta=0.2,
+                       decoding_len=10, stop_token_id=STOP)
+    want = _brute_magic(params, prefix, audio, scorer, 5, 0.1, 0.2, 10, STOP)
+    assert got == want, (got, want)

@@ -1,4 +1,4 @@
-"""Beam search as a device-resident loop with a beam-expanded KV cache.
+"""Beam search as a device-resident loop with an ancestry-indirected KV cache.
 
 Capability parity with the reference ``generate_beam``
 (``/root/reference/gpt2_prefix_eval.py:99-158``), including its exact
@@ -9,8 +9,11 @@ then de-normalized after selection, stop on the '.' token, final ordering
 by ``scores / seq_lengths`` descending.
 
 Unlike the reference (full recompute of the whole sequence each step), the
-prefix is prefilled once, the cache is broadcast across the beam dim, and
-each step is a single-token forward plus a gather to reorder beams.
+prefix is prefilled once and each step is a single-token forward. Beam
+reordering does NOT copy the cache: physical cache rows are append-only and
+a tiny per-beam ancestry table is gathered instead (``gpt2_step_beam``) —
+the per-step cost is O(K) extra FLOPs rather than O(cache) HBM traffic,
+which is what held the round-1 implementation to ~1/10th of its roofline.
 """
 
 from __future__ import annotations
@@ -21,7 +24,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_prefill, gpt2_step, init_kv_cache
+from zs_aac_tpu.models.gpt2 import (
+    GPT2Config,
+    gpt2_embed,
+    gpt2_prefill,
+    gpt2_step_beam,
+    init_beam_cache,
+    init_kv_cache,
+)
 
 __all__ = ["beam_search", "beam_search_batched"]
 
@@ -32,7 +42,7 @@ _NEG_INF = -1e9
 def beam_search(
     params: dict,
     cfg: GPT2Config,
-    prefix_embeds: jax.Array,   # [1, Lp, D] — one clip per call, beam as batch
+    prefix_embeds: jax.Array,   # [1, Lp, D] — one clip per call
     beam_size: int = 5,
     entry_length: int = 67,
     stop_token_id: int = 13,
@@ -42,55 +52,13 @@ def beam_search(
 
     ``scores`` are the length-normalized final scores; callers sort
     descending (the reference returns texts in that order and uses [0]).
+    Single-clip wrapper over ``beam_search_batched``.
     """
-    _, Lp, D = prefix_embeds.shape
-    T = Lp + entry_length
-
-    # Prefill once on the single prompt, then broadcast cache across beams.
-    cache1 = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
-    logits1, cache1 = gpt2_prefill(params, cfg, prefix_embeds, cache1)
-    cache = jax.tree.map(lambda x: jnp.broadcast_to(x, (x.shape[0], beam_size, *x.shape[2:])), cache1)
-
-    logp0 = jax.nn.log_softmax(logits1[0, -1] / temperature)
-    scores, first_tokens = jax.lax.top_k(logp0, beam_size)  # [beam]
-
-    tokens = jnp.zeros((beam_size, entry_length), jnp.int32)
-    tokens = tokens.at[:, 0].set(first_tokens)
-    seq_lengths = jnp.ones((beam_size,), jnp.float32)
-    is_stopped = first_tokens == stop_token_id
-    cur = first_tokens.astype(jnp.int32)
-
-    def cond(state):
-        i, _, _, _, _, is_stopped, _ = state
-        return (i < entry_length) & ~jnp.all(is_stopped)
-
-    def body(state):
-        i, tokens, cache, scores, seq_lengths, is_stopped, cur = state
-        logits, cache = gpt2_step(params, cfg, gpt2_embed(params, cur), cache, Lp + i - 1)
-        logp = jax.nn.log_softmax(logits / temperature)  # [beam, V]
-        # Stopped beams: only token 0 with logprob 0 (reference :133-135).
-        stopped_row = jnp.full_like(logp[0], _NEG_INF).at[0].set(0.0)
-        logp = jnp.where(is_stopped[:, None], stopped_row[None], logp)
-        seq_lengths = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
-
-        scores_sum = scores[:, None] + logp
-        avg = scores_sum / seq_lengths[:, None]
-        V = logp.shape[1]
-        top_avg, flat_idx = jax.lax.top_k(avg.reshape(-1), beam_size)
-        src = flat_idx // V
-        nxt = (flat_idx % V).astype(jnp.int32)
-
-        tokens = tokens[src].at[:, i].set(nxt)
-        seq_lengths = seq_lengths[src]
-        is_stopped = is_stopped[src]
-        cache = jax.tree.map(lambda x: x[:, src], cache)
-        scores = top_avg * seq_lengths
-        is_stopped = is_stopped | (nxt == stop_token_id)
-        return i + 1, tokens, cache, scores, seq_lengths, is_stopped, nxt
-
-    state = (jnp.int32(1), tokens, cache, scores, seq_lengths, is_stopped, cur)
-    _, tokens, _, scores, seq_lengths, _, _ = jax.lax.while_loop(cond, body, state)
-    return tokens, seq_lengths.astype(jnp.int32), scores / seq_lengths
+    tokens, seq_lengths, scores = beam_search_batched(
+        params, cfg, prefix_embeds, beam_size, entry_length, stop_token_id,
+        temperature,
+    )
+    return tokens[0], seq_lengths[0], scores[0]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
@@ -103,11 +71,11 @@ def beam_search_batched(
     stop_token_id: int = 13,
     temperature: float = 1.0,
 ):
-    """Beam search over a clip batch — same per-clip semantics as
-    ``beam_search`` (verified equivalent in tests), with the beam dim folded
-    into the batch so the whole eval set decodes in a few device programs
-    instead of one per clip. Returns (tokens [B, beam, entry_length],
-    seq_lengths [B, beam], scores [B, beam] length-normalized).
+    """Beam search over a clip batch — the reference's per-clip semantics
+    with the beam dim folded into the batch so the whole eval set decodes in
+    a few device programs instead of one per clip. Returns
+    (tokens [B, beam, entry_length], seq_lengths [B, beam],
+    scores [B, beam] length-normalized).
     """
     B, Lp, D = prefix_embeds.shape
     K = beam_size
@@ -115,8 +83,13 @@ def beam_search_batched(
 
     cache1 = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
     logits1, cache1 = gpt2_prefill(params, cfg, prefix_embeds, cache1)
-    # expand to [n_layer, B*K, H, T, d], beam-major within each clip
-    cache = jax.tree.map(lambda x: jnp.repeat(x, K, axis=1), cache1)
+    # expand to the beam layout [n_layer, B, H, K, T, d]
+    cache = init_beam_cache(cfg, cache1, K)
+    # ancestry: logical beam j's key at position t lives in row anc[b,j,t];
+    # the prefill is replicated into every row, so own-row identity is valid
+    anc = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T)
+    )
 
     logp0 = jax.nn.log_softmax(logits1[:, -1] / temperature, axis=-1)  # [B, V]
     scores, first = jax.lax.top_k(logp0, K)              # [B, K]
@@ -126,16 +99,16 @@ def beam_search_batched(
     is_stopped = first == stop_token_id
     cur = first.astype(jnp.int32)                        # [B, K]
 
-    clip_offsets = (jnp.arange(B) * K)[:, None]          # [B, 1]
-
     def cond(state):
-        i, _, _, _, _, stopped, _ = state
+        i, _, _, _, _, _, stopped, _ = state
         return (i < entry_length) & ~jnp.all(stopped)
 
     def body(state):
-        i, tokens, cache, scores, seq_lengths, is_stopped, cur = state
+        i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
-        logits, cache = gpt2_step(params, cfg, emb, cache, Lp + i - 1)
+        logits, cache, anc = gpt2_step_beam(
+            params, cfg, emb, cache, anc, Lp + i - 1
+        )
         logp = jax.nn.log_softmax(logits / temperature).reshape(B, K, -1)
         V = logp.shape[-1]
         stopped_row = jnp.full((V,), _NEG_INF, logp.dtype).at[0].set(0.0)
@@ -152,12 +125,12 @@ def beam_search_batched(
         tokens = tokens.at[:, :, i].set(nxt)
         seq_lengths = jnp.take_along_axis(seq_lengths, src, axis=1)
         is_stopped = jnp.take_along_axis(is_stopped, src, axis=1)
-        rows = (clip_offsets + src).reshape(-1)          # [B*K] global rows
-        cache = jax.tree.map(lambda x: x[:, rows], cache)
+        # reorder the ancestry table (tiny) instead of the cache (huge)
+        anc = jnp.take_along_axis(anc, src[..., None].astype(anc.dtype), axis=1)
         scores = top_avg * seq_lengths
         is_stopped = is_stopped | (nxt == stop_token_id)
-        return i + 1, tokens, cache, scores, seq_lengths, is_stopped, nxt
+        return i + 1, tokens, cache, anc, scores, seq_lengths, is_stopped, nxt
 
-    state = (jnp.int32(1), tokens, cache, scores, seq_lengths, is_stopped, cur)
-    _, tokens, _, scores, seq_lengths, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(1), tokens, cache, anc, scores, seq_lengths, is_stopped, cur)
+    _, tokens, _, _, scores, seq_lengths, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens, seq_lengths.astype(jnp.int32), scores / seq_lengths

@@ -31,27 +31,39 @@ import numpy as np
 
 from zs_aac_tpu.models.gpt2 import (
     GPT2Config,
+    gpt2_commit_probe,
     gpt2_embed,
     gpt2_prefill,
-    gpt2_step,
+    gpt2_probe_step,
     init_kv_cache,
 )
 
 __all__ = ["magic_search", "generate_beam_magic", "make_magic_scorer", "clap_logprobs"]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5))
-def _probe_step(params, cfg: GPT2Config, logits, cache, index, beam_width):
-    """Expand top-k candidates one step. Returns (top_ids [k], top_probs [k],
-    probe_logits [k, V], probe_cache, next_hidden [k, D])."""
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def _probe_step(params, cfg: GPT2Config, logits, cache, beam_width, index,
+                context, context_len):
+    """Expand the top-k candidates one step over the SHARED cache (no
+    cache broadcast — ``gpt2_probe_step``) and compute the degeneration
+    penalty in the same device program. Returns (top_ids [k], top_probs [k],
+    probe_logits [k, V], new_kv, next_hidden [k, D], deg [k])."""
     probs = jax.nn.softmax(logits, axis=-1)  # [1, V]
     top_probs, top_ids = jax.lax.top_k(probs[0], beam_width)
-    kcache = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (x.shape[0], beam_width, *x.shape[2:])), cache
-    )
-    emb = gpt2_embed(params, top_ids)
-    plogits, pcache, hidden = gpt2_step(params, cfg, emb, kcache, index, return_hidden=True)
-    return top_ids, top_probs, plogits, pcache, hidden
+    emb = gpt2_embed(params, top_ids)[None]  # [1, k, D]
+    plogits, new_kv, hidden = gpt2_probe_step(params, cfg, emb, cache, index)
+    deg = _degeneration_penalty(context, hidden[0], context_len)
+    return top_ids, top_probs, plogits[0], new_kv, hidden[0], deg
+
+
+@jax.jit
+def _commit(cache, new_kv, sel, index, plogits, hidden, context, context_len):
+    """Write the selected candidate's K/V into the cache and advance the
+    context buffer — one device program per emitted token."""
+    cache = gpt2_commit_probe(cache, new_kv, sel[None], index)
+    logits = plogits[sel][None]
+    context = context.at[context_len].set(hidden[sel])
+    return cache, logits, context
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -172,10 +184,10 @@ def magic_search(
 
     generated: List[int] = []
     for step in range(decoding_len):
-        top_ids, top_probs, plogits, pcache, next_hidden = _probe_step(
-            gpt2_params, cfg, logits, cache, Lp + step, beam_width
+        top_ids, top_probs, plogits, new_kv, next_hidden, deg = _probe_step(
+            gpt2_params, cfg, logits, cache, beam_width, Lp + step,
+            context, context_len,
         )
-        deg = _degeneration_penalty(context, next_hidden, context_len)
 
         cand_ids = [generated + [int(t)] for t in np.asarray(top_ids)]
         clap_scores = score_fn(audio_embed, cand_ids)
@@ -189,9 +201,10 @@ def magic_search(
         tok = int(np.asarray(top_ids)[sel])
         generated.append(tok)
 
-        cache = jax.tree.map(lambda x: x[:, sel : sel + 1], pcache)
-        logits = plogits[sel : sel + 1]
-        context = context.at[context_len].set(next_hidden[sel])
+        cache, logits, context = _commit(
+            cache, new_kv, jnp.int32(sel), Lp + step, plogits,
+            next_hidden, context, context_len,
+        )
         context_len += 1
         if tok == stop_token_id:
             break
@@ -203,22 +216,34 @@ def magic_search(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5))
-def _probe_step_beam(params, cfg: GPT2Config, logits, cache, index, magic_width):
-    """Per-beam top-k expansion. logits: [beam, V]; cache leaves
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def _probe_step_beam(params, cfg: GPT2Config, logits, cache, magic_width,
+                     index, context, context_len):
+    """Per-beam top-k expansion over each beam's SHARED cache row (no
+    ``x magic_width`` cache copy). logits: [beam, V]; cache leaves
     [n_layer, beam, H, T, d]. Returns (top_ids [beam, w], top_logp [beam, w],
-    probe_logits [beam*w, V], probe_cache (beam*w rows), hidden [beam*w, D])."""
-    beam = logits.shape[0]
+    probe_logits [beam, w, V], new_kv, hidden [beam, w, D], deg [beam, w])."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     top_logp, top_ids = jax.lax.top_k(logp, magic_width)  # [beam, w]
-    kcache = jax.tree.map(
-        lambda x: jnp.repeat(x, magic_width, axis=1), cache
-    )  # rows ordered beam-major: b0w0, b0w1, ...
-    emb = gpt2_embed(params, top_ids.reshape(-1))
-    plogits, pcache, hidden = gpt2_step(
-        params, cfg, emb, kcache, index, return_hidden=True
-    )
-    return top_ids, top_logp, plogits, pcache, hidden
+    emb = gpt2_embed(params, top_ids)                     # [beam, w, D]
+    plogits, new_kv, hidden = gpt2_probe_step(params, cfg, emb, cache, index)
+    deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+        context, hidden, context_len
+    )  # [beam, w]
+    return top_ids, top_logp, plogits, new_kv, hidden, deg
+
+
+@jax.jit
+def _reorder_commit_beam(cache, new_kv, src, wsel, index, plogits, hidden,
+                         context, context_len):
+    """Reorder the (small, beam-row) cache by ``src`` and write each new
+    beam's selected candidate K/V at ``index``; advance contexts."""
+    cache = jax.tree.map(lambda x: x[:, src], cache)
+    k_new, v_new = new_kv
+    cache = gpt2_commit_probe(cache, (k_new[:, src], v_new[:, src]), wsel, index)
+    logits = plogits[src, wsel]
+    context = context[src].at[:, context_len].set(hidden[src, wsel])
+    return cache, logits, context
 
 
 def generate_beam_magic(
@@ -244,7 +269,7 @@ def generate_beam_magic(
     logits_seq, cache1, hidden = gpt2_prefill(
         gpt2_params, cfg, prefix_embeds, cache1, return_hidden=True
     )
-    # beam-expand
+    # beam-expand (the beam-row cache is small; copied once, never per step)
     cache = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (x.shape[0], beam_size, *x.shape[2:])), cache1
     )
@@ -259,15 +284,11 @@ def generate_beam_magic(
     is_stopped = np.zeros(beam_size, bool)
 
     for i in range(entry_length):
-        top_ids, top_logp, plogits, pcache, hidden = _probe_step_beam(
-            gpt2_params, cfg, logits, cache, Lp + i, magic_width
+        top_ids, top_logp, plogits, new_kv, hidden, deg = _probe_step_beam(
+            gpt2_params, cfg, logits, cache, magic_width, Lp + i,
+            context, context_len,
         )
-        # degeneration penalty per (beam, width)
-        ctx_rep = jnp.repeat(context, magic_width, axis=0)  # [beam*w, T, D]
-        deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
-            ctx_rep, hidden[:, None], context_len
-        )[:, 0]
-        deg = np.asarray(deg).reshape(beam_size, magic_width)
+        deg = np.asarray(deg)
 
         # CLAP score: log-softmax within each beam's candidate set
         ids_np = np.asarray(top_ids)
@@ -288,8 +309,7 @@ def generate_beam_magic(
             scores = magic[0][order]
             nxt = ids_np[0][order]
             src = np.zeros(beam_size, np.int64)  # all from beam 0 row
-            flat_sel = order  # indices into beam0's width axis
-            sel_rows = 0 * beam_size + flat_sel
+            wsel = order  # indices into beam0's width axis
         else:
             m = magic.copy()
             m[is_stopped] = -np.inf
@@ -299,19 +319,18 @@ def generate_beam_magic(
             avg = scores_sum / seq_lengths[:, None]
             flat = np.argsort(-avg.reshape(-1))[:beam_size]
             src = flat // magic_width
-            w = flat % magic_width
+            wsel = flat % magic_width
             seq_lengths = seq_lengths[src]
-            nxt = ids_np[src, w]
+            nxt = ids_np[src, wsel]
             tokens = tokens[src]
             is_stopped = is_stopped[src]
             scores = avg.reshape(-1)[flat] * seq_lengths
-            sel_rows = src * magic_width + w
 
         tokens[:, i] = nxt
-        sel = jnp.asarray(sel_rows)
-        cache = jax.tree.map(lambda x: x[:, sel], pcache)
-        logits = plogits[sel]
-        context = context[jnp.asarray(src)].at[:, context_len].set(hidden[sel])
+        cache, logits, context = _reorder_commit_beam(
+            cache, new_kv, jnp.asarray(src), jnp.asarray(wsel), Lp + i,
+            plogits, hidden, context, context_len,
+        )
         context_len += 1
         is_stopped = is_stopped | (nxt == stop_token_id)
         if is_stopped.all():

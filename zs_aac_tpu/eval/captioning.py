@@ -11,9 +11,12 @@ no JVM, so the scorers are reimplemented from their published algorithms:
 - ROUGE-L: per-candidate max F_lcs over references (beta=1.2), averaged.
 - CIDEr: n=1..4 TF-IDF cosine with gaussian length penalty (sigma=6),
   document frequency over the reference corpus, x10 scale.
-- METEOR / SPICE require the Java jars (alignment + scene-graph parsing);
-  when ``pycocoevalcap`` is importable they are used, otherwise reported as
-  ``None`` and SPIDEr falls back to CIDEr/2 with a flag in the output.
+- METEOR: the Java jar is used when ``pycocoevalcap`` is importable;
+  otherwise the pure-Python reimplementation in ``zs_aac_tpu/eval/meteor.py``
+  (exact+stem+injectable-synonym alignment, NLTK-golden-tested) computes it.
+- SPICE requires the Java scene-graph parser and stays a documented Java
+  passthrough; without it SPICE is ``None`` and SPIDEr falls back to
+  CIDEr/2 with a flag in the output.
 
 ``eval_prediction(key2refs, key2pred, metrics)`` mirrors the reference's
 entry point shape.
@@ -204,6 +207,13 @@ def eval_prediction(
             spice, _ = Spice().compute_score(r4, h4)
     except Exception:
         pass
+    if meteor is None and "METEOR" in metrics:
+        # pure-Python METEOR (exact+stem alignment, corpus-aggregated
+        # sufficient statistics) — see zs_aac_tpu/eval/meteor.py for the
+        # documented deviations from the meteor-1.5 jar
+        from zs_aac_tpu.eval.meteor import meteor_corpus
+
+        meteor = meteor_corpus(refs, hyps)
     out["METEOR"] = meteor
     out["SPICE"] = spice
 

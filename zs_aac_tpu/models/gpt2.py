@@ -37,6 +37,8 @@ __all__ = [
     "init_kv_cache",
     "gpt2_prefill",
     "gpt2_step",
+    "gpt2_step_beam",
+    "quantize_gpt2_int8",
 ]
 
 
@@ -63,6 +65,59 @@ def _ln(x, p, eps):
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def _quant_act(x):
+    """Dynamic per-row symmetric int8 activation quantization."""
+    sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _int8_dot(x, w, w_scale, out_dtype, w_contract_dim=0):
+    """W8A8: quantize the (tiny) activations, run a TRUE int8 x int8 MXU
+    matmul accumulating in int32, rescale in the epilogue. The weight's HBM
+    stream stays int8 end-to-end — a plain ``w.astype(bf16)`` dequant is NOT
+    reliably fused by XLA and re-materializes bf16 weights each decode step
+    (measured: zero speedup), whereas the int8 dot halves the stream and
+    doubles the MXU rate. ``w_contract_dim`` picks the weight's contraction
+    dim so transposed layouts (wte) need no relayout copy."""
+    xq, sx = _quant_act(x)
+    y = jax.lax.dot_general(
+        xq, w, (((x.ndim - 1,), (w_contract_dim,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * sx * w_scale).astype(out_dtype)
+
+
+def _mm(x, p):
+    """x @ w + b for three linear layouts (selected by static key names):
+
+    - float: {"w" [in,out], "b"}
+    - w8   : {"w" int8, "scale" fp32 [out], "b"} — int8 weights dequantized
+      into the activation dtype inside the matmul
+    - w8a8 : {"w" int8, "scale_a8" fp32 [out], "b"} — activations quantized
+      per-row to int8 and a true int8 MXU matmul (see ``_int8_dot``)
+    """
+    w = p["w"]
+    if "scale_a8" in p:
+        y = _int8_dot(x, w, p["scale_a8"], x.dtype)
+    elif w.dtype == jnp.int8:
+        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ w
+    return y + p["b"]
+
+
+def _logits(x, params):
+    """Final logits ``x @ wte.T`` — reads the int8 copy when present."""
+    if "wte_q" in params:
+        q = params["wte_q"]
+        if "scale_a8" in q:
+            return _int8_dot(x, q["w"], q["scale_a8"], x.dtype, w_contract_dim=1)
+        return (x @ q["w"].T.astype(x.dtype)) * q["scale"].astype(x.dtype)
+    return x @ params["wte"].T
+
+
 def _split_heads(x, n_head):
     B, L, D = x.shape
     return x.reshape(B, L, n_head, D // n_head).transpose(0, 2, 1, 3)
@@ -75,7 +130,7 @@ def _merge_heads(x):
 
 def _attn_block(p, cfg, x, *, bias, kv=None):
     """Self-attention. ``kv``: optional override (k, v) each [B,H,T,d]."""
-    qkv = x @ p["c_attn"]["w"] + p["c_attn"]["b"]
+    qkv = _mm(x, p["c_attn"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, cfg.n_head)
     if kv is None:
@@ -89,7 +144,7 @@ def _attn_block(p, cfg, x, *, bias, kv=None):
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d).astype(x.dtype)
     att = jax.nn.softmax((att + bias).astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
-    out = _merge_heads(out) @ p["c_proj"]["w"] + p["c_proj"]["b"]
+    out = _mm(_merge_heads(out), p["c_proj"])
     return out, new_kv
 
 
@@ -98,8 +153,8 @@ def _block(p, cfg, x, *, bias, kv=None):
                             bias=bias, kv=kv)
     x = x + a
     h = _ln(x, p["ln_2"], cfg.layer_norm_epsilon)
-    h = _gelu_new(h @ p["mlp"]["c_fc"]["w"] + p["mlp"]["c_fc"]["b"])
-    h = h @ p["mlp"]["c_proj"]["w"] + p["mlp"]["c_proj"]["b"]
+    h = _gelu_new(_mm(h, p["mlp"]["c_fc"]))
+    h = _mm(h, p["mlp"]["c_proj"])
     return x + h, new_kv
 
 
@@ -129,7 +184,7 @@ def gpt2_forward(
     for i in range(cfg.n_layer):
         x, _ = _block(params["h"][i], cfg, x, bias=bias)
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    return x @ params["wte"].T
+    return _logits(x, params)
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +218,7 @@ def gpt2_prefill(params, cfg: GPT2Config, inputs_embeds, cache, return_hidden=Fa
         ks.append(k)
         vs.append(v)
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = x @ params["wte"].T
+    logits = _logits(x, params)
 
     T = cache["k"].shape[3]
     pad = [(0, 0), (0, 0), (0, T - L), (0, 0)]
@@ -198,7 +253,7 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
     for i in range(cfg.n_layer):
         blk = params["h"][i]
         h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
-        qkv = h @ blk["attn"]["c_attn"]["w"] + blk["attn"]["c_attn"]["b"]
+        qkv = _mm(h, blk["attn"]["c_attn"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, cfg.n_head)  # [B, H, 1, d]
         k = _split_heads(k, cfg.n_head)
@@ -210,23 +265,244 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
         att = att / np.sqrt(d).astype(x.dtype)
         att = jax.nn.softmax((att + bias).astype(jnp.float32), axis=-1).astype(x.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", att, cv_all[i].astype(x.dtype))
-        o = _merge_heads(o) @ blk["attn"]["c_proj"]["w"] + blk["attn"]["c_proj"]["b"]
+        o = _mm(_merge_heads(o), blk["attn"]["c_proj"])
         x = x + o
         h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
-        h = _gelu_new(h @ blk["mlp"]["c_fc"]["w"] + blk["mlp"]["c_fc"]["b"])
-        x = x + (h @ blk["mlp"]["c_proj"]["w"] + blk["mlp"]["c_proj"]["b"])
+        h = _gelu_new(_mm(h, blk["mlp"]["c_fc"]))
+        x = x + _mm(h, blk["mlp"]["c_proj"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = (x @ params["wte"].T)[:, 0].astype(jnp.float32)
+    logits = _logits(x, params)[:, 0].astype(jnp.float32)
     cache = {"k": ck_all, "v": cv_all}
     if return_hidden:
         return logits, cache, x[:, 0]
     return logits, cache
 
 
+def gpt2_probe_step(params, cfg: GPT2Config, x_embed, cache, index):
+    """Probe ``W`` candidate tokens per cache row WITHOUT copying the cache.
+
+    MAGIC expands the top-k candidates one step each
+    (``/root/reference/gpt2_prefix_eval.py:396-534``); a naive cached port
+    broadcasts the whole KV cache W times per step and then selects one row
+    back out — two O(W x cache) copies per emitted token. Here all W
+    candidates of a row share that row's cache read-only: attention runs the
+    W queries against the row's K/V at positions < ``index`` plus each
+    candidate's OWN freshly computed K/V at ``index`` (the causal
+    self-attention term), and the per-candidate K/V is returned so the
+    caller can scatter just the selected candidate into the cache
+    (``gpt2_commit_probe``).
+
+    ``x_embed``: [B, W, D] candidate embeddings. ``cache`` leaves:
+    [n_layer, B, H, T, d]. Returns (logits [B, W, V] fp32,
+    (k_new, v_new) each [n_layer, B, W, H, d], hidden [B, W, D]).
+    """
+    B, W, D = x_embed.shape
+    H = cfg.n_head
+    d = cfg.n_embd // H
+    T = cache["k"].shape[3]
+    x = (x_embed + params["wpe"][index]).reshape(B * W, 1, D)
+
+    # cache positions strictly before the probe position
+    valid = (jnp.arange(T) < index)[None, None, None, :]  # [1,1,1,T]
+    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    ck_all, cv_all = cache["k"], cache["v"]
+    ks_new, vs_new = [], []
+    for i in range(cfg.n_layer):
+        blk = params["h"][i]
+        h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
+        qkv = _mm(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, W, H, d).transpose(0, 2, 1, 3)   # [B, H, W, d]
+        k = k.reshape(B, W, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, W, H, d).transpose(0, 2, 1, 3)
+        ks_new.append(k)
+        vs_new.append(v)
+        kc = ck_all[i].astype(x.dtype)                    # [B, H, T, d]
+        vc = cv_all[i].astype(x.dtype)
+        s_hist = jnp.einsum("bhwd,bhtd->bhwt", q, kc)     # shared history
+        s_own = jnp.einsum("bhwd,bhwd->bhw", q, k)        # own token at index
+        s = jnp.concatenate([s_hist + bias, s_own[..., None]], axis=-1)
+        att = jax.nn.softmax((s / np.sqrt(d)).astype(jnp.float32), axis=-1)
+        att = att.astype(x.dtype)
+        o = jnp.einsum("bhwt,bhtd->bhwd", att[..., :T], vc)
+        o = o + att[..., T:] * v
+        o = o.transpose(0, 2, 1, 3).reshape(B * W, 1, cfg.n_embd)
+        o = _mm(o, blk["attn"]["c_proj"])
+        x = x + o
+        h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
+        h = _gelu_new(_mm(h, blk["mlp"]["c_fc"]))
+        x = x + _mm(h, blk["mlp"]["c_proj"])
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = _logits(x, params)[:, 0].astype(jnp.float32).reshape(B, W, -1)
+    k_new = jnp.stack(ks_new).transpose(0, 1, 3, 2, 4)    # [L, B, W, H, d]
+    v_new = jnp.stack(vs_new).transpose(0, 1, 3, 2, 4)
+    return logits, (k_new, v_new), x.reshape(B, W, D)
+
+
+def gpt2_commit_probe(cache, new_kv, sel, index):
+    """Scatter each row's SELECTED candidate K/V into the cache at
+    ``index``. ``sel``: [B] candidate index per row; ``new_kv``:
+    (k_new, v_new) from ``gpt2_probe_step``. Returns the updated cache."""
+    k_new, v_new = new_kv
+    B = sel.shape[0]
+    rows = jnp.arange(B)
+    ksel = k_new[:, rows, sel]  # [L, B, H, d]
+    vsel = v_new[:, rows, sel]
+    cdtype = cache["k"].dtype
+    return {
+        "k": cache["k"].at[:, :, :, index].set(ksel.astype(cdtype)),
+        "v": cache["v"].at[:, :, :, index].set(vsel.astype(cdtype)),
+    }
+
+
+def init_beam_cache(cfg: GPT2Config, prefill_cache, beam_size: int):
+    """Expand a prefill cache [n_layer, B, H, T, d] into the beam layout
+    [n_layer, B, H, K, T, d].
+
+    The K axis sits *inside* (B, H) so every attention einsum in
+    ``gpt2_step_beam`` batches over the leading (b, h) dims with the cache
+    in its stored layout — no per-layer cache transpose, which is what made
+    a [B*K, H, T, d] layout slow on TPU (XLA materialized relayouts of the
+    whole cache each step).
+    """
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(
+            x[:, :, :, None], (*x.shape[:3], beam_size, *x.shape[3:])
+        ),
+        prefill_cache,
+    )
+
+
+def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
+                   return_hidden=False):
+    """One cached decode step for ``B`` clips x ``K`` beams with an
+    **ancestry-indirected** cache read (no per-step cache reorder).
+
+    The reference's beam search re-runs the full sequence per step
+    (``/root/reference/gpt2_prefix_eval.py:99-158``); a naive cached port
+    reorders the whole KV cache every step (``cache[:, rows]``), which costs
+    a full cache copy per token. Here each physical row only ever *appends*
+    its own K/V at ``index`` (in-place, XLA-aliased inside the decode loop),
+    and beam reordering is tracked in a tiny ``anc [B, K, T]`` int32 table:
+    logical beam ``j``'s key at position ``t`` lives in physical row
+    ``anc[b, j, t]``. Attention computes scores against *all* K physical
+    rows ((K x) extra FLOPs on a K<=5 axis — noise next to the matmuls) and
+    resolves the indirection with a one-hot contraction, instead of O(cache)
+    HBM traffic per step.
+
+    ``x_embed``: [B*K, D] (beam-major rows). ``cache`` leaves:
+    [n_layer, B, H, K, T, d] (see ``init_beam_cache``). Returns
+    (logits [B*K, V] fp32, cache, anc) with ``anc[:, :, index]`` set to the
+    own-row identity, plus post-ln_f hidden [B*K, D] when ``return_hidden``.
+    """
+    BK, D = x_embed.shape
+    T = cache["k"].shape[4]
+    B, K = anc.shape[0], anc.shape[1]
+    H = cfg.n_head
+    d = cfg.n_embd // H
+    x = (x_embed + params["wpe"][index])[:, None]  # [B*K, 1, D]
+
+    anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
+    # one-hot over the physical-row axis: [B, K(logical), K(row), T]
+    onehot = jax.nn.one_hot(anc, K, dtype=x.dtype, axis=2)
+    valid = (jnp.arange(T) <= index)[None, None, None]  # [1,1,1,T]
+    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    ck_all, cv_all = cache["k"], cache["v"]
+    cdtype = ck_all.dtype
+    for i in range(cfg.n_layer):
+        blk = params["h"][i]
+        h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
+        qkv = _mm(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # [B*K, 1, D] -> [B, H, K, d] (tiny transposes; the cache stays put)
+        q = q.reshape(B, K, H, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, K, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, K, H, d).transpose(0, 2, 1, 3)
+        ck_all = ck_all.at[i, :, :, :, index].set(k.astype(cdtype))
+        cv_all = cv_all.at[i, :, :, :, index].set(v.astype(cdtype))
+        kc = ck_all[i].astype(x.dtype)  # [B, H, K, T, d], stored layout
+        vc = cv_all[i].astype(x.dtype)
+        # scores vs every physical row, then select the ancestor's row
+        s_all = jnp.einsum("bhjd,bhrtd->bhjrt", q, kc)
+        att = jnp.einsum("bhjrt,bjrt->bhjt", s_all, onehot) / np.sqrt(d)
+        att = jax.nn.softmax(att.astype(jnp.float32) + bias, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhjt,bjrt,bhrtd->bhjd", att, onehot, vc)
+        # [B, H, K, d] -> [B*K, 1, D]
+        o = o.transpose(0, 2, 1, 3).reshape(BK, 1, cfg.n_embd)
+        o = _mm(o, blk["attn"]["c_proj"])
+        x = x + o
+        h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
+        h = _gelu_new(_mm(h, blk["mlp"]["c_fc"]))
+        x = x + _mm(h, blk["mlp"]["c_proj"])
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = _logits(x, params)[:, 0].astype(jnp.float32)
+    cache = {"k": ck_all, "v": cv_all}
+    if return_hidden:
+        return logits, cache, anc, x[:, 0]
+    return logits, cache, anc
+
+
 # ---------------------------------------------------------------------------
 # Weights
 # ---------------------------------------------------------------------------
+
+
+def quantize_gpt2_int8(params: dict, mode: str = "w8") -> dict:
+    """Per-output-channel symmetric int8 weight quantization for serving.
+
+    The TPU-native answer to the reference's NF4 capability
+    (``/root/reference/models/caption_model.py:223-232``, bitsandbytes
+    CUDA-only): weights stream from HBM as int8 (half of bf16, quarter of
+    fp32). All decode entry points (``greedy_decode``, ``beam_search*``, the
+    q8-cache variants, MAGIC) accept the quantized tree directly —
+    ``_mm``/``_logits`` dispatch on static key names.
+
+    ``mode``:
+    - ``"w8"``  — int8 weights dequantized into the activation dtype inside
+      each matmul.
+    - ``"w8a8"`` — additionally quantize activations per-row at runtime and
+      run true int8 MXU matmuls (int32 accumulation); halves the weight HBM
+      stream end-to-end and doubles MXU rate. Slightly lossier; agreement is
+      validated on learned weights in tests/test_quantized_decode.py.
+
+    ``wte`` is kept in float for embedding lookups (tiny HBM reads); an int8
+    per-row copy ``wte_q`` serves the big per-step logits matmul.
+    """
+    assert mode in ("w8", "w8a8"), mode
+    skey = "scale" if mode == "w8" else "scale_a8"
+
+    def qlin(p):
+        w = jnp.asarray(p["w"], jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"w": q, skey: scale.astype(jnp.float32), "b": p["b"]}
+
+    h = [
+        {
+            "ln_1": blk["ln_1"],
+            "ln_2": blk["ln_2"],
+            "attn": {"c_attn": qlin(blk["attn"]["c_attn"]),
+                     "c_proj": qlin(blk["attn"]["c_proj"])},
+            "mlp": {"c_fc": qlin(blk["mlp"]["c_fc"]),
+                    "c_proj": qlin(blk["mlp"]["c_proj"])},
+        }
+        for blk in params["h"]
+    ]
+    wte = jnp.asarray(params["wte"], jnp.float32)
+    wscale = jnp.maximum(jnp.max(jnp.abs(wte), axis=1), 1e-8) / 127.0
+    wte_q = jnp.clip(jnp.round(wte / wscale[:, None]), -127, 127).astype(jnp.int8)
+    return {
+        "wte": params["wte"],
+        "wte_q": {"w": wte_q, skey: wscale.astype(jnp.float32)},
+        "wpe": params["wpe"],
+        "h": h,
+        "ln_f": params["ln_f"],
+    }
 
 
 def convert_gpt2(state_dict, cfg: GPT2Config) -> dict:
@@ -345,7 +621,7 @@ def gpt2_step_q8(params, cfg: GPT2Config, x_embed, cache, index):
     for i in range(cfg.n_layer):
         blk = params["h"][i]
         h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
-        qkv = h @ blk["attn"]["c_attn"]["w"] + blk["attn"]["c_attn"]["b"]
+        qkv = _mm(h, blk["attn"]["c_attn"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, cfg.n_head)
         k = _split_heads(k, cfg.n_head)[:, :, 0]  # [B, H, d]
@@ -364,12 +640,12 @@ def gpt2_step_q8(params, cfg: GPT2Config, x_embed, cache, index):
         att = jax.nn.softmax((att.astype(jnp.float32) + bias), axis=-1)
         p = (att * sv_all[i][:, :, None, :]).astype(x.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, cv_all[i].astype(x.dtype))
-        o = _merge_heads(o) @ blk["attn"]["c_proj"]["w"] + blk["attn"]["c_proj"]["b"]
+        o = _mm(_merge_heads(o), blk["attn"]["c_proj"])
         x = x + o
         h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
-        h = _gelu_new(h @ blk["mlp"]["c_fc"]["w"] + blk["mlp"]["c_fc"]["b"])
-        x = x + (h @ blk["mlp"]["c_proj"]["w"] + blk["mlp"]["c_proj"]["b"])
+        h = _gelu_new(_mm(h, blk["mlp"]["c_fc"]))
+        x = x + _mm(h, blk["mlp"]["c_proj"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = (x @ params["wte"].T)[:, 0].astype(jnp.float32)
+    logits = _logits(x, params)[:, 0].astype(jnp.float32)
     return logits, {"k": ck_all, "v": cv_all, "k_scale": sk_all, "v_scale": sv_all}

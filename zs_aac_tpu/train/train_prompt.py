@@ -102,6 +102,13 @@ def _make_tokenizer(args, records_paths):
     from zs_aac_tpu.data.tokenizer import GPT2BPETokenizer, WordTokenizer
 
     if args.tokenizer:
+        if args.tokenizer.endswith(".model"):
+            # SentencePiece model (the reference's Mistral tokenizer path,
+            # /root/reference/models/caption_model.py:236-238)
+            from zs_aac_tpu.data.sentencepiece import SentencePieceTokenizer
+
+            sp = SentencePieceTokenizer.from_file(args.tokenizer)
+            return sp, sp.eos_id
         tok = GPT2BPETokenizer.from_dir(args.tokenizer)
         return tok, tok.encode(".")[0]
     corpus = []
