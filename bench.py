@@ -12,8 +12,11 @@ CPU throughput: PyTorch GPT2LMHeadModel, full-sequence recompute per step
 host (1 vCPU): 182.6 ms/step -> 0.082 captions/sec for a 67-step caption.
 Re-measure with ``--measure-cpu``.
 
-The decode runs in bfloat16 (weights + KV cache) with in-place cache
-scatters inside the ``lax.while_loop``.
+The default decode path is the fastest VALIDATED one: int8 weights with
+true-int8 matmuls (w8a8) + int8 KV cache (q8). Validation = exact-caption
+agreement with the float path on trained weights plus unchanged CIDEr
+(tests/test_quantized_decode.py); ``--mode bf16`` measures the bf16
+weights + bf16 cache path.
 
 Timing method: the axon TPU tunnel caches identical executions and
 ``block_until_ready`` is unreliable, so N calls are chained with a data
@@ -54,9 +57,10 @@ def main():
     ap.add_argument("--entry-length", type=int, default=67)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--measure-cpu", action="store_true")
-    ap.add_argument("--q8", action="store_true",
-                    help="int8 KV cache (~+22%% throughput; token agreement "
-                         "vs bf16 should be re-validated on trained weights)")
+    ap.add_argument("--mode", choices=["w8a8+q8", "q8", "bf16"], default="w8a8+q8",
+                    help="decode path; the default is the fastest path whose "
+                         "exact-caption agreement is validated on learned "
+                         "weights (tests/test_quantized_decode.py)")
     args = ap.parse_args()
 
     baseline = CPU_REFERENCE_CAPTIONS_PER_SEC
@@ -76,12 +80,16 @@ def main():
 
     from zs_aac_tpu.decoding.greedy import greedy_decode, greedy_decode_q8
     from zs_aac_tpu.models.caption import CaptionConfig, caption_embeddings, init_caption_model
-    from zs_aac_tpu.models.gpt2 import GPT2Config
+    from zs_aac_tpu.models.gpt2 import GPT2Config, quantize_gpt2_int8
 
     cfg = CaptionConfig(prefix_length=10, prefix_size=1024, gpt2=GPT2Config())
     params = jax.device_put(init_caption_model(jax.random.key(0), cfg))
-    # Serving path: bf16 weights + KV cache (TPU-native low precision).
+    # Serving path: bf16 weights/cache, optionally int8-quantized (TPU-native
+    # low precision; the reference's NF4 capability analog).
     gp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params["gpt2"])
+    if args.mode == "w8a8+q8":
+        gp = jax.device_put(jax.jit(lambda p: quantize_gpt2_int8(p, "w8a8"))(gp))
+    decode = greedy_decode if args.mode == "bf16" else greedy_decode_q8
 
     rng = np.random.default_rng(0)
     prefix = jnp.asarray(rng.standard_normal((args.batch, 1024)).astype(np.float32))
@@ -91,7 +99,6 @@ def main():
     def chained(emb, n):
         toks = None
         for _ in range(n):
-            decode = greedy_decode_q8 if args.q8 else greedy_decode
             toks, _ = decode(gp, cfg.gpt2, emb, args.entry_length, 13, 764)
             emb = emb + (toks.sum() % 2).astype(emb.dtype) * 1e-9
         return toks
@@ -107,7 +114,7 @@ def main():
     throughput = args.batch / per_call
 
     print(
-        f"greedy decode: {per_call*1e3:.1f} ms / batch{args.batch} "
+        f"greedy decode ({args.mode}): {per_call*1e3:.1f} ms / batch{args.batch} "
         f"x {args.entry_length} steps on {jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

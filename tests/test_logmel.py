@@ -105,3 +105,53 @@ def test_log_mel_pallas_matches_xla(t):
     got = np.asarray(log_mel_pallas(jnp.asarray(wave), CFG, 128))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=0, atol=0.05)  # dB
+
+
+def test_pallas_logmel_gradient_matches_xla():
+    """The fused kernel's custom_vjp must return the XLA path's gradients
+    (the train step uses the fused forward, VERDICT r1 #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.ops.logmel import LogMelConfig, log_mel_pallas, log_mel_xla
+
+    cfg = LogMelConfig()
+    rng = np.random.default_rng(5)
+    wave = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+
+    def loss_p(w):
+        return (log_mel_pallas(w, cfg) ** 2).mean()
+
+    def loss_x(w):
+        return (log_mel_xla(w, cfg) ** 2).mean()
+
+    gp = jax.grad(loss_p)(wave)
+    gx = jax.grad(loss_x)(wave)
+    # forward values differ only by MXU rounding; gradients are the XLA
+    # closed form evaluated at the same input -> near-identical
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=2e-3, atol=2e-6)
+
+
+def test_train_step_runs_with_pallas_frontend():
+    import jax
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+    from zs_aac_tpu.train.contrastive import create_ase_state, make_ase_train_step
+    from zs_aac_tpu.train.optim import cosine_lr, get_optimizer
+
+    ase = ASE(ASEConfig(embed_size=16, audio_channels=(4, 8),
+                        text_model="prajjwal1/bert-tiny"))
+    opt = get_optimizer(cosine_lr(1e-4, 2, 10), "adamw")
+    state = create_ase_state(jax.random.key(0), ase, opt,
+                             spec_shape=(2, 51, 64), text_len=8)
+    step = make_ase_train_step(ase, opt)  # default mel_impl="pallas"
+    rng = np.random.default_rng(0)
+    batch = {
+        "wave": jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1),
+        "input_ids": jnp.asarray(rng.integers(0, 1000, (2, 8))),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+        "idx": jnp.asarray([0, 1]),
+    }
+    state2, loss = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))

@@ -148,3 +148,35 @@ def test_w8_beam_exact_on_learned_weights(learned):
     best0 = _captions(tok, t0[:, 0], l0[:, 0])
     best1 = _captions(tok, t1[:, 0], l1[:, 0])
     assert best1 == best0
+
+
+def test_q8_beam_exact_on_learned_weights(learned):
+    from zs_aac_tpu.decoding.beam import beam_search_batched_q8
+
+    tok, ccfg, params, emb, refs = learned
+    gp = params["gpt2"]
+    qp = quantize_gpt2_int8(gp, mode="w8a8")
+    t0, l0, _ = beam_search_batched(gp, ccfg.gpt2, emb, 3, 12, tok.stop_token_id)
+    # q8 cache alone, and combined with w8a8 weights
+    t1, l1, _ = beam_search_batched_q8(gp, ccfg.gpt2, emb, 3, 12, tok.stop_token_id)
+    t2, l2, _ = beam_search_batched_q8(qp, ccfg.gpt2, emb, 3, 12, tok.stop_token_id)
+    best0 = _captions(tok, t0[:, 0], l0[:, 0])
+    assert _captions(tok, t1[:, 0], l1[:, 0]) == best0
+    assert _captions(tok, t2[:, 0], l2[:, 0]) == best0
+
+
+def test_q8_magic_exact_on_learned_weights(learned):
+    from zs_aac_tpu.decoding.magic import magic_search
+
+    tok, ccfg, params, emb, refs = learned
+    gp = params["gpt2"]
+    audio = np.zeros(8, np.float32)
+
+    def score_fn(a, cand):  # neutral CLAP term; LM+degeneration drive choice
+        return np.zeros(len(cand), np.float32)
+
+    kw = dict(beam_width=4, alpha=0.1, beta=0.2, decoding_len=12,
+              stop_token_id=tok.stop_token_id)
+    got_f = magic_search(gp, ccfg.gpt2, emb[:1], audio, score_fn, **kw)
+    got_q = magic_search(gp, ccfg.gpt2, emb[:1], audio, score_fn, quant=True, **kw)
+    assert got_q == got_f

@@ -157,16 +157,31 @@ def pretrain_batches(
     seed: int = 20,
     static_shapes: bool = True,
 ) -> Iterator[Dict]:
-    """Bucketed batches; each bucket pads to its upper edge (static shapes)."""
+    """Bucketed batches; each bucket pads to its upper edge (static shapes).
+
+    Multi-host: every host builds the same global batch order (same seed)
+    and materializes only its ``local_batch_slice`` of each batch — the
+    per-host shard GSPMD expects for a batch-sharded global array (the
+    reference's DistributedSampler role, datamodule.py:52-54). The pad
+    length comes from the GLOBAL batch's bucket so shapes agree across
+    hosts.
+    """
+    lengths = dataset.lengths if hasattr(dataset, "lengths") else [30.0] * len(dataset)
     sampler = BySequenceLengthSampler(
-        dataset.lengths if hasattr(dataset, "lengths") else [30.0] * len(dataset),
-        bucket_boundaries, batch_size, drop_last=True, seed=seed,
+        lengths, bucket_boundaries, batch_size, drop_last=True, seed=seed,
     )
+    from zs_aac_tpu.parallel.mesh import local_batch_slice
+
     for batch_idx in sampler:
-        items = [dataset[i] for i in batch_idx]
+        local_idx = list(batch_idx)[local_batch_slice(len(batch_idx))]
+        items = [dataset[i] for i in local_idx]
         pad = None
         if static_shapes:
-            d = max(len(w) / dataset.sr for w, _, _ in items)
+            # global max: identical bucket edge on every host
+            d = max(
+                max(lengths[i] for i in batch_idx),
+                max(len(w) / dataset.sr for w, _, _ in items),
+            )
             pad = bucket_pad_length(d, bucket_boundaries, dataset.sr)
         yield _collate(items, tokenizer, text_len, pad)
 
@@ -199,8 +214,12 @@ class AudioCaptionDataModule:
             sel = idx[s : s + self.batch_size]
             if drop_last and len(sel) < self.batch_size:
                 continue
-            yield _collate([ds[int(i)] for i in sel], self.tokenizer,
-                           self.text_len, self.pad_samples)
+            batch = _collate([ds[int(i)] for i in sel], self.tokenizer,
+                             self.text_len, self.pad_samples)
+            # global row ids so multi-host eval can reassemble order
+            # (parallel.mesh.allgather_by_index)
+            batch["index"] = np.asarray(sel, np.int64)
+            yield batch
 
     def train_batches(self, seed: int = 0):
         return self._batches(self.train_set, True, seed, drop_last=True)

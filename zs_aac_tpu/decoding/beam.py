@@ -33,9 +33,28 @@ from zs_aac_tpu.models.gpt2 import (
     init_kv_cache,
 )
 
-__all__ = ["beam_search", "beam_search_batched"]
+__all__ = ["beam_search", "beam_search_batched", "beam_search_batched_q8"]
 
 _NEG_INF = -1e9
+
+
+def _topk_argmax(x: jax.Array, k: int):
+    """Exact top-k over the last axis as k argmax passes.
+
+    ``lax.top_k`` over the beam's [B, K*V] score matrix lowers to a partial
+    sort that costs ~0.9 ms/step on v5e — k max-reductions are cheaper for
+    the k<=5 this decoder needs. Tie order matches ``top_k`` (first index
+    wins)."""
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        x = jnp.where(
+            jax.nn.one_hot(i, x.shape[-1], dtype=bool), -jnp.inf, x
+        )
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
@@ -77,21 +96,62 @@ def beam_search_batched(
     (tokens [B, beam, entry_length], seq_lengths [B, beam],
     scores [B, beam] length-normalized).
     """
+    return _beam_batched_body(params, cfg, prefix_embeds, beam_size,
+                              entry_length, stop_token_id, temperature,
+                              quant=False)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
+def beam_search_batched_q8(
+    params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,
+    beam_size: int = 5,
+    entry_length: int = 67,
+    stop_token_id: int = 13,
+    temperature: float = 1.0,
+):
+    """``beam_search_batched`` over the int8 KV cache (serving fast path;
+    exact-caption agreement on learned weights is validated in
+    tests/test_quantized_decode.py). Accepts int8-quantized weights too."""
+    return _beam_batched_body(params, cfg, prefix_embeds, beam_size,
+                              entry_length, stop_token_id, temperature,
+                              quant=True)
+
+
+def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
+                       stop_token_id, temperature, quant):
+    from zs_aac_tpu.models.gpt2 import (
+        gpt2_prefill_q8,
+        gpt2_step_beam_q8,
+        init_beam_cache_q8,
+        init_kv_cache_q8,
+    )
+
     B, Lp, D = prefix_embeds.shape
     K = beam_size
     T = Lp + entry_length
 
-    cache1 = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
-    logits1, cache1 = gpt2_prefill(params, cfg, prefix_embeds, cache1)
-    # expand to the beam layout [n_layer, B, H, K, T, d]
-    cache = init_beam_cache(cfg, cache1, K)
+    if quant:
+        cache1 = init_kv_cache_q8(cfg, B, T)
+        logits1, cache1 = gpt2_prefill_q8(params, cfg, prefix_embeds, cache1)
+        cache = init_beam_cache_q8(cfg, cache1, K)
+        step = gpt2_step_beam_q8
+    else:
+        cache1 = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
+        logits1, cache1 = gpt2_prefill(params, cfg, prefix_embeds, cache1)
+        cache = init_beam_cache(cfg, cache1, K)
+        step = gpt2_step_beam
     # ancestry: logical beam j's key at position t lives in row anc[b,j,t];
     # the prefill is replicated into every row, so own-row identity is valid
     anc = jnp.broadcast_to(
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T)
     )
 
-    logp0 = jax.nn.log_softmax(logits1[:, -1] / temperature, axis=-1)  # [B, V]
+    # score accumulation is fp32 regardless of the model compute dtype
+    logp0 = jax.nn.log_softmax(
+        logits1[:, -1].astype(jnp.float32) / temperature, axis=-1
+    )  # [B, V]
     scores, first = jax.lax.top_k(logp0, K)              # [B, K]
     tokens = jnp.zeros((B, K, entry_length), jnp.int32)
     tokens = tokens.at[:, :, 0].set(first)
@@ -106,9 +166,7 @@ def beam_search_batched(
     def body(state):
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
-        logits, cache, anc = gpt2_step_beam(
-            params, cfg, emb, cache, anc, Lp + i - 1
-        )
+        logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1)
         logp = jax.nn.log_softmax(logits / temperature).reshape(B, K, -1)
         V = logp.shape[-1]
         stopped_row = jnp.full((V,), _NEG_INF, logp.dtype).at[0].set(0.0)
@@ -117,7 +175,7 @@ def beam_search_batched(
 
         scores_sum = scores[..., None] + logp            # [B, K, V]
         avg = scores_sum / seq_lengths[..., None]
-        top_avg, flat = jax.lax.top_k(avg.reshape(B, -1), K)
+        top_avg, flat = _topk_argmax(avg.reshape(B, -1), K)
         src = flat // V                                  # [B, K] beam source
         nxt = (flat % V).astype(jnp.int32)
 

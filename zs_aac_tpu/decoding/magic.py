@@ -41,26 +41,39 @@ from zs_aac_tpu.models.gpt2 import (
 __all__ = ["magic_search", "generate_beam_magic", "make_magic_scorer", "clap_logprobs"]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4))
+@functools.partial(jax.jit, static_argnums=(1, 4, 8))
 def _probe_step(params, cfg: GPT2Config, logits, cache, beam_width, index,
-                context, context_len):
+                context, context_len, quant=False, alpha=0.1):
     """Expand the top-k candidates one step over the SHARED cache (no
-    cache broadcast — ``gpt2_probe_step``) and compute the degeneration
-    penalty in the same device program. Returns (top_ids [k], top_probs [k],
-    probe_logits [k, V], new_kv, next_hidden [k, D], deg [k])."""
+    cache broadcast — ``gpt2_probe_step``), compute the degeneration
+    penalty AND the non-CLAP part of the MAGIC score in the same device
+    program. Returns (packed [2, k] fp32 — row 0 candidate ids, row 1
+    ``(1-alpha)*p - alpha*deg``; probe_logits [k, V], new_kv,
+    next_hidden [k, D]). Packing matters: the host loop fetches ONE small
+    array per step instead of three — device->host round-trips dominate
+    MAGIC wall-clock on remote-attached TPUs."""
+    from zs_aac_tpu.models.gpt2 import gpt2_probe_step_q8
+
     probs = jax.nn.softmax(logits, axis=-1)  # [1, V]
     top_probs, top_ids = jax.lax.top_k(probs[0], beam_width)
     emb = gpt2_embed(params, top_ids)[None]  # [1, k, D]
-    plogits, new_kv, hidden = gpt2_probe_step(params, cfg, emb, cache, index)
+    probe = gpt2_probe_step_q8 if quant else gpt2_probe_step
+    plogits, new_kv, hidden = probe(params, cfg, emb, cache, index)
     deg = _degeneration_penalty(context, hidden[0], context_len)
-    return top_ids, top_probs, plogits[0], new_kv, hidden[0], deg
+    base = (1.0 - alpha) * top_probs - alpha * deg
+    packed = jnp.stack([top_ids.astype(jnp.float32), base.astype(jnp.float32)])
+    return packed, plogits[0], new_kv, hidden[0]
 
 
-@jax.jit
-def _commit(cache, new_kv, sel, index, plogits, hidden, context, context_len):
+@functools.partial(jax.jit, static_argnums=(8,))
+def _commit(cache, new_kv, sel, index, plogits, hidden, context, context_len,
+            quant=False):
     """Write the selected candidate's K/V into the cache and advance the
     context buffer — one device program per emitted token."""
-    cache = gpt2_commit_probe(cache, new_kv, sel[None], index)
+    from zs_aac_tpu.models.gpt2 import gpt2_commit_probe_q8
+
+    commit = gpt2_commit_probe_q8 if quant else gpt2_commit_probe
+    cache = commit(cache, new_kv, sel[None], index)
     logits = plogits[sel][None]
     context = context.at[context_len].set(hidden[sel])
     return cache, logits, context
@@ -169,41 +182,59 @@ def magic_search(
     beta: float = 0.2,
     decoding_len: int = 67,
     stop_token_id: int = 13,
+    quant: bool = False,
 ) -> List[int]:
-    """Greedy MAGIC decode; returns the generated token ids."""
+    """Greedy MAGIC decode; returns the generated token ids.
+
+    ``quant=True`` streams the shared history through an int8 KV cache
+    (``gpt2_probe_step_q8``); token agreement with the float cache is
+    validated on learned weights in tests/test_quantized_decode.py."""
     _, Lp, D = prefix_embeds.shape
     T = Lp + decoding_len
-    cache = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
-    logits_seq, cache, hidden = gpt2_prefill(
-        gpt2_params, cfg, prefix_embeds, cache, return_hidden=True
-    )
-    logits = logits_seq[:, -1]
+    if quant:
+        from zs_aac_tpu.models.gpt2 import gpt2_prefill_q8, init_kv_cache_q8
+
+        cache = init_kv_cache_q8(cfg, 1, T)
+        # q8 prefill has no hidden-state return; run the bf16 prefill for
+        # the context hiddens (one-off cost) and the q8 one for the cache
+        tmp = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
+        logits_seq, _, hidden = gpt2_prefill(
+            gpt2_params, cfg, prefix_embeds, tmp, return_hidden=True
+        )
+        _, cache = gpt2_prefill_q8(gpt2_params, cfg, prefix_embeds, cache)
+    else:
+        cache = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
+        logits_seq, cache, hidden = gpt2_prefill(
+            gpt2_params, cfg, prefix_embeds, cache, return_hidden=True
+        )
+    logits = logits_seq[:, -1].astype(jnp.float32)
     # context hiddens buffer [T, D] (ranking uses all of them, prefix incl.)
-    context = jnp.zeros((T, D), prefix_embeds.dtype).at[:Lp].set(hidden[0])
+    context = jnp.zeros((T, D), prefix_embeds.dtype).at[:Lp].set(
+        hidden[0].astype(prefix_embeds.dtype)
+    )
     context_len = Lp
 
     generated: List[int] = []
     for step in range(decoding_len):
-        top_ids, top_probs, plogits, new_kv, next_hidden, deg = _probe_step(
+        packed, plogits, new_kv, next_hidden = _probe_step(
             gpt2_params, cfg, logits, cache, beam_width, Lp + step,
-            context, context_len,
+            context, context_len, quant, alpha,
         )
+        packed = np.asarray(packed)  # the step's single device->host fetch
+        top_ids = packed[0].astype(np.int64)
+        base = packed[1]  # (1-alpha)*p - alpha*deg, computed on device
 
-        cand_ids = [generated + [int(t)] for t in np.asarray(top_ids)]
+        cand_ids = [generated + [int(t)] for t in top_ids]
         clap_scores = score_fn(audio_embed, cand_ids)
 
-        scores = (
-            (1.0 - alpha) * np.asarray(top_probs)
-            - alpha * np.asarray(deg)
-            + beta * np.asarray(clap_scores)
-        )
+        scores = base + beta * np.asarray(clap_scores)
         sel = int(np.argmax(scores))
-        tok = int(np.asarray(top_ids)[sel])
+        tok = int(top_ids[sel])
         generated.append(tok)
 
         cache, logits, context = _commit(
             cache, new_kv, jnp.int32(sel), Lp + step, plogits,
-            next_hidden, context, context_len,
+            next_hidden, context, context_len, quant,
         )
         context_len += 1
         if tok == stop_token_id:
@@ -218,11 +249,12 @@ def magic_search(
 
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def _probe_step_beam(params, cfg: GPT2Config, logits, cache, magic_width,
-                     index, context, context_len):
+                     index, context, context_len, alpha=0.1):
     """Per-beam top-k expansion over each beam's SHARED cache row (no
     ``x magic_width`` cache copy). logits: [beam, V]; cache leaves
-    [n_layer, beam, H, T, d]. Returns (top_ids [beam, w], top_logp [beam, w],
-    probe_logits [beam, w, V], new_kv, hidden [beam, w, D], deg [beam, w])."""
+    [n_layer, beam, H, T, d]. Returns (packed [2, beam, w] fp32 — ids and
+    the device-computed ``(1-alpha)*logp - alpha*deg`` base; probe_logits
+    [beam, w, V], new_kv, hidden [beam, w, D]); one host fetch per step."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     top_logp, top_ids = jax.lax.top_k(logp, magic_width)  # [beam, w]
     emb = gpt2_embed(params, top_ids)                     # [beam, w, D]
@@ -230,7 +262,9 @@ def _probe_step_beam(params, cfg: GPT2Config, logits, cache, magic_width,
     deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
         context, hidden, context_len
     )  # [beam, w]
-    return top_ids, top_logp, plogits, new_kv, hidden, deg
+    base = (1.0 - alpha) * top_logp - alpha * deg
+    packed = jnp.stack([top_ids.astype(jnp.float32), base.astype(jnp.float32)])
+    return packed, plogits, new_kv, hidden
 
 
 @jax.jit
@@ -273,7 +307,9 @@ def generate_beam_magic(
     cache = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (x.shape[0], beam_size, *x.shape[2:])), cache1
     )
-    logits = jnp.broadcast_to(logits_seq[:, -1], (beam_size, logits_seq.shape[-1]))
+    logits = jnp.broadcast_to(
+        logits_seq[:, -1].astype(jnp.float32), (beam_size, logits_seq.shape[-1])
+    )
     context = jnp.zeros((beam_size, T, D), prefix_embeds.dtype)
     context = context.at[:, :Lp].set(hidden[0][None])
     context_len = Lp
@@ -284,25 +320,22 @@ def generate_beam_magic(
     is_stopped = np.zeros(beam_size, bool)
 
     for i in range(entry_length):
-        top_ids, top_logp, plogits, new_kv, hidden, deg = _probe_step_beam(
+        packed, plogits, new_kv, hidden = _probe_step_beam(
             gpt2_params, cfg, logits, cache, magic_width, Lp + i,
-            context, context_len,
+            context, context_len, alpha,
         )
-        deg = np.asarray(deg)
+        packed = np.asarray(packed)  # single device->host fetch per step
+        ids_np = packed[0].astype(np.int64)   # [beam, w]
+        base = packed[1]                      # (1-a)*logp - a*deg
 
         # CLAP score: log-softmax within each beam's candidate set
-        ids_np = np.asarray(top_ids)
         clap = np.zeros((beam_size, magic_width), np.float32)
         for b in range(beam_size):
             prev = list(tokens[b][:i]) if i else []
             cand = [prev + [int(t)] for t in ids_np[b]]
             clap[b] = score_fn(audio_embed, cand)
 
-        magic = (
-            (1.0 - alpha) * np.asarray(top_logp)
-            - alpha * deg
-            + beta * clap
-        )  # [beam, w]
+        magic = base + beta * clap  # [beam, w]
 
         if scores is None:
             order = np.argsort(-magic[0])[:beam_size]

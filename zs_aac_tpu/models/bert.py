@@ -52,7 +52,7 @@ class _SelfAttention(nn.Module):
         q = q.reshape(B, L, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, h, d).transpose(0, 2, 1, 3)
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * float(1.0 / np.sqrt(d))
         att = nn.softmax(att + bias, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         return out.transpose(0, 2, 1, 3).reshape(B, L, c.hidden_size)

@@ -53,7 +53,11 @@ class GPT2Config:
 
 
 def _gelu_new(x):
-    return 0.5 * x * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+    # NOTE: the constant must be a weakly-typed Python float — a numpy
+    # scalar is dtype-strong and silently upcasts bf16 activations to f32
+    # for the rest of the block (caught by dtype audit, round 2).
+    c = float(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x**3)))
 
 
 def _ln(x, p, eps):
@@ -279,6 +283,77 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
     return logits, cache
 
 
+def init_beam_cache_q8(cfg: GPT2Config, prefill_cache_q8, beam_size: int):
+    """Expand an int8 prefill cache into per-layer beam leaves:
+    tuple of (k int8 [B,H,K,T,d], v int8, k_scale fp32 [B,H,K,T], v_scale)."""
+    ks, vs = prefill_cache_q8["k"], prefill_cache_q8["v"]
+    sk, sv = prefill_cache_q8["k_scale"], prefill_cache_q8["v_scale"]
+
+    def expand(x):
+        return jnp.broadcast_to(
+            x[:, :, None], (*x.shape[:2], beam_size, *x.shape[2:])
+        )
+
+    return tuple(
+        (expand(ks[i]), expand(vs[i]), expand(sk[i]), expand(sv[i]))
+        for i in range(ks.shape[0])
+    )
+
+
+def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
+    """``gpt2_step_beam`` over the int8 KV cache (+ per-vector scales):
+    halves the dominant HBM stream of batched beam decode. Dequantization is
+    folded into the attention contractions; cache layout/ancestry semantics
+    are identical to the bf16 beam step."""
+    BK, D = x_embed.shape
+    B, K = anc.shape[0], anc.shape[1]
+    T = cache[0][0].shape[3]
+    H = cfg.n_head
+    d = cfg.n_embd // H
+    x = (x_embed + params["wpe"][index])[:, None]
+
+    anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
+    onehot = jax.nn.one_hot(anc, K, dtype=x.dtype, axis=2)  # [B,Kj,Kr,T]
+    valid = (jnp.arange(T) <= index)[None, None, None]
+    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    new_cache = []
+    for i in range(cfg.n_layer):
+        blk = params["h"][i]
+        ck, cv, sk, sv = cache[i]
+        h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
+        qkv = _mm(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, K, H, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, K, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, K, H, d).transpose(0, 2, 1, 3)
+        kq_, ks_ = _quantize_vec(k.astype(jnp.float32))
+        vq_, vs_ = _quantize_vec(v.astype(jnp.float32))
+        ck = ck.at[:, :, :, index].set(kq_)
+        cv = cv.at[:, :, :, index].set(vq_)
+        sk = sk.at[:, :, :, index].set(ks_)
+        sv = sv.at[:, :, :, index].set(vs_)
+        new_cache.append((ck, cv, sk, sv))
+
+        s_all = jnp.einsum("bhjd,bhrtd->bhjrt", q, ck.astype(x.dtype))
+        s_all = s_all * sk[:, :, None].astype(x.dtype)      # fold k scales
+        att = jnp.einsum("bhjrt,bjrt->bhjt", s_all, onehot) / np.sqrt(d)
+        att = jax.nn.softmax(att.astype(jnp.float32) + bias, axis=-1).astype(x.dtype)
+        # fold v scales + ancestry selection into the probability tensor
+        p2 = att[:, :, :, None] * onehot[:, None] * sv[:, :, None].astype(x.dtype)
+        o = jnp.einsum("bhjrt,bhrtd->bhjd", p2, cv.astype(x.dtype))
+        o = o.transpose(0, 2, 1, 3).reshape(BK, 1, cfg.n_embd)
+        o = _mm(o, blk["attn"]["c_proj"])
+        x = x + o
+        h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
+        h = _gelu_new(_mm(h, blk["mlp"]["c_fc"]))
+        x = x + _mm(h, blk["mlp"]["c_proj"])
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = _logits(x, params)[:, 0].astype(jnp.float32)
+    return logits, tuple(new_cache), anc
+
+
 def gpt2_probe_step(params, cfg: GPT2Config, x_embed, cache, index):
     """Probe ``W`` candidate tokens per cache row WITHOUT copying the cache.
 
@@ -342,6 +417,75 @@ def gpt2_probe_step(params, cfg: GPT2Config, x_embed, cache, index):
     return logits, (k_new, v_new), x.reshape(B, W, D)
 
 
+def gpt2_probe_step_q8(params, cfg: GPT2Config, x_embed, cache, index):
+    """``gpt2_probe_step`` over the int8 KV cache (+ per-vector scales).
+    The probe's own-token K/V stays full precision (it is fresh in VMEM);
+    only the shared history streams from HBM as int8."""
+    B, W, D = x_embed.shape
+    H = cfg.n_head
+    d = cfg.n_embd // H
+    T = cache["k"].shape[3]
+    x = (x_embed + params["wpe"][index]).reshape(B * W, 1, D)
+
+    valid = (jnp.arange(T) < index)[None, None, None, :]
+    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    ck_all, cv_all = cache["k"], cache["v"]
+    sk_all, sv_all = cache["k_scale"], cache["v_scale"]
+    ks_new, vs_new = [], []
+    for i in range(cfg.n_layer):
+        blk = params["h"][i]
+        h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
+        qkv = _mm(h, blk["attn"]["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, W, H, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, W, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, W, H, d).transpose(0, 2, 1, 3)
+        ks_new.append(k)
+        vs_new.append(v)
+        kc = ck_all[i].astype(x.dtype)                # [B, H, T, d] int8->bf16
+        vc = cv_all[i].astype(x.dtype)
+        s_hist = jnp.einsum("bhwd,bhtd->bhwt", q, kc)
+        s_hist = s_hist * sk_all[i][:, :, None].astype(x.dtype)
+        s_own = jnp.einsum("bhwd,bhwd->bhw", q, k)
+        s = jnp.concatenate([s_hist + bias, s_own[..., None]], axis=-1)
+        att = jax.nn.softmax((s / np.sqrt(d)).astype(jnp.float32), axis=-1)
+        att = att.astype(x.dtype)
+        p_hist = att[..., :T] * sv_all[i][:, :, None].astype(x.dtype)
+        o = jnp.einsum("bhwt,bhtd->bhwd", p_hist, vc)
+        o = o + att[..., T:] * v
+        o = o.transpose(0, 2, 1, 3).reshape(B * W, 1, cfg.n_embd)
+        o = _mm(o, blk["attn"]["c_proj"])
+        x = x + o
+        h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
+        h = _gelu_new(_mm(h, blk["mlp"]["c_fc"]))
+        x = x + _mm(h, blk["mlp"]["c_proj"])
+
+    x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
+    logits = _logits(x, params)[:, 0].astype(jnp.float32).reshape(B, W, -1)
+    k_new = jnp.stack(ks_new).transpose(0, 1, 3, 2, 4)
+    v_new = jnp.stack(vs_new).transpose(0, 1, 3, 2, 4)
+    return logits, (k_new, v_new), x.reshape(B, W, D)
+
+
+def gpt2_commit_probe_q8(cache, new_kv, sel, index):
+    """Quantize each row's selected candidate K/V and scatter values +
+    scales into the int8 cache at ``index``."""
+    k_new, v_new = new_kv
+    B = sel.shape[0]
+    rows = jnp.arange(B)
+    ksel = k_new[:, rows, sel].astype(jnp.float32)  # [L, B, H, d]
+    vsel = v_new[:, rows, sel].astype(jnp.float32)
+    kq, ks = _quantize_vec(ksel)
+    vq, vs = _quantize_vec(vsel)
+    return {
+        "k": cache["k"].at[:, :, :, index].set(kq),
+        "v": cache["v"].at[:, :, :, index].set(vq),
+        "k_scale": cache["k_scale"].at[:, :, :, index].set(ks),
+        "v_scale": cache["v_scale"].at[:, :, :, index].set(vs),
+    }
+
+
 def gpt2_commit_probe(cache, new_kv, sel, index):
     """Scatter each row's SELECTED candidate K/V into the cache at
     ``index``. ``sel``: [B] candidate index per row; ``new_kv``:
@@ -359,21 +503,27 @@ def gpt2_commit_probe(cache, new_kv, sel, index):
 
 
 def init_beam_cache(cfg: GPT2Config, prefill_cache, beam_size: int):
-    """Expand a prefill cache [n_layer, B, H, T, d] into the beam layout
-    [n_layer, B, H, K, T, d].
+    """Expand a prefill cache [n_layer, B, H, T, d] into the beam layout:
+    a TUPLE of per-layer (k, v) pairs, each [B, H, K, T, d].
 
-    The K axis sits *inside* (B, H) so every attention einsum in
-    ``gpt2_step_beam`` batches over the leading (b, h) dims with the cache
-    in its stored layout — no per-layer cache transpose, which is what made
-    a [B*K, H, T, d] layout slow on TPU (XLA materialized relayouts of the
-    whole cache each step).
+    Two deliberate layout choices, both measured on the chip:
+    - The K axis sits *inside* (B, H) so every attention einsum in
+      ``gpt2_step_beam`` batches over the leading (b, h) dims with the
+      cache in its stored layout.
+    - Each layer is its own carry leaf. A layer-stacked
+      ``[n_layer, B, H, K, T, d]`` buffer made XLA lower every per-layer
+      ``.at[i, ..., index].set`` as a slice + full-slice-rewrite fusion
+      (24 x 11 MB per decode step — ~0.5 GB/step of pure copy, the round-1
+      beam bottleneck); per-layer leaves update in place.
     """
-    return jax.tree.map(
-        lambda x: jnp.broadcast_to(
-            x[:, :, :, None], (*x.shape[:3], beam_size, *x.shape[3:])
-        ),
-        prefill_cache,
-    )
+    ks, vs = prefill_cache["k"], prefill_cache["v"]
+
+    def expand(x):  # [B, H, T, d] -> [B, H, K, T, d]
+        return jnp.broadcast_to(
+            x[:, :, None], (*x.shape[:2], beam_size, *x.shape[2:])
+        )
+
+    return tuple((expand(ks[i]), expand(vs[i])) for i in range(ks.shape[0]))
 
 
 def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
@@ -393,14 +543,14 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     resolves the indirection with a one-hot contraction, instead of O(cache)
     HBM traffic per step.
 
-    ``x_embed``: [B*K, D] (beam-major rows). ``cache`` leaves:
-    [n_layer, B, H, K, T, d] (see ``init_beam_cache``). Returns
+    ``x_embed``: [B*K, D] (beam-major rows). ``cache``: per-layer tuple of
+    (k, v), each [B, H, K, T, d] (see ``init_beam_cache``). Returns
     (logits [B*K, V] fp32, cache, anc) with ``anc[:, :, index]`` set to the
     own-row identity, plus post-ln_f hidden [B*K, D] when ``return_hidden``.
     """
     BK, D = x_embed.shape
-    T = cache["k"].shape[4]
     B, K = anc.shape[0], anc.shape[1]
+    T = cache[0][0].shape[3]
     H = cfg.n_head
     d = cfg.n_embd // H
     x = (x_embed + params["wpe"][index])[:, None]  # [B*K, 1, D]
@@ -411,10 +561,10 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     valid = (jnp.arange(T) <= index)[None, None, None]  # [1,1,1,T]
     bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
 
-    ck_all, cv_all = cache["k"], cache["v"]
-    cdtype = ck_all.dtype
+    new_cache = []
     for i in range(cfg.n_layer):
         blk = params["h"][i]
+        ck, cv = cache[i]
         h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
         qkv = _mm(h, blk["attn"]["c_attn"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -422,10 +572,11 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
         q = q.reshape(B, K, H, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, K, H, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        ck_all = ck_all.at[i, :, :, :, index].set(k.astype(cdtype))
-        cv_all = cv_all.at[i, :, :, :, index].set(v.astype(cdtype))
-        kc = ck_all[i].astype(x.dtype)  # [B, H, K, T, d], stored layout
-        vc = cv_all[i].astype(x.dtype)
+        ck = ck.at[:, :, :, index].set(k.astype(ck.dtype))
+        cv = cv.at[:, :, :, index].set(v.astype(cv.dtype))
+        new_cache.append((ck, cv))
+        kc = ck.astype(x.dtype)  # [B, H, K, T, d], stored layout
+        vc = cv.astype(x.dtype)
         # scores vs every physical row, then select the ancestor's row
         s_all = jnp.einsum("bhjd,bhrtd->bhjrt", q, kc)
         att = jnp.einsum("bhjrt,bjrt->bhjt", s_all, onehot) / np.sqrt(d)
@@ -441,10 +592,9 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
     logits = _logits(x, params)[:, 0].astype(jnp.float32)
-    cache = {"k": ck_all, "v": cv_all}
     if return_hidden:
-        return logits, cache, anc, x[:, 0]
-    return logits, cache, anc
+        return logits, tuple(new_cache), anc, x[:, 0]
+    return logits, tuple(new_cache), anc
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,9 @@ class GPT2EncoderConfig:
 
 
 def _gelu_new(x):
-    return 0.5 * x * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+    # weakly-typed constant: a numpy scalar would upcast bf16 to f32
+    c = float(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x**3)))
 
 
 class _Block(nn.Module):
@@ -52,7 +54,7 @@ class _Block(nn.Module):
         q = q.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * float(1.0 / np.sqrt(d))
         att = nn.softmax(att + bias, axis=-1)
         a = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + nn.Dense(D, dtype=self.dtype, name="c_proj")(a)
@@ -152,7 +154,7 @@ class _CLIPBlock(nn.Module):
         q = q.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, nh, d).transpose(0, 2, 1, 3)
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * float(1.0 / np.sqrt(d))
         att = nn.softmax(att + bias, axis=-1)
         a = jnp.einsum("bhqk,bhkd->bhqd", att, v).transpose(0, 2, 1, 3).reshape(B, L, D)
         x = x + nn.Dense(D, dtype=self.dtype, name="out_proj")(a)

@@ -229,8 +229,35 @@ def _logmel_kernel(
     out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, amin)) - log_ref_scale
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def log_mel_pallas(wave: jax.Array, cfg: LogMelConfig, block_f: int = 256) -> jax.Array:
+    """Fused log-mel Pallas kernel, differentiable. ``wave: [B, T] ->
+    [B, 1, F, n_mels]``.
+
+    Pallas kernels have no automatic VJP; this one carries a ``custom_vjp``
+    whose backward pass is the (closed-form, XLA) VJP of ``log_mel_xla`` —
+    the same mathematical function, so the contrastive train step
+    (``train/contrastive.py``) gets the fused forward AND exact gradients.
+    The two forwards differ only by MXU-DFT rounding (cos parity tested to
+    ~1e-6 relative); the gradient is evaluated at the same input point.
+    """
+    return _log_mel_pallas_impl(wave, cfg, block_f)
+
+
+def _log_mel_pallas_fwd(wave, cfg, block_f):
+    return _log_mel_pallas_impl(wave, cfg, block_f), wave
+
+
+def _log_mel_pallas_bwd(cfg, block_f, wave, g):
+    _, vjp = jax.vjp(lambda w: log_mel_xla(w, cfg), wave)
+    return vjp(g)
+
+
+log_mel_pallas.defvjp(_log_mel_pallas_fwd, _log_mel_pallas_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _log_mel_pallas_impl(wave: jax.Array, cfg: LogMelConfig, block_f: int = 256) -> jax.Array:
     """Fused log-mel Pallas kernel. ``wave: [B, T] -> [B, 1, F, n_mels]``."""
     wave = wave.astype(jnp.float32)
     B, T = wave.shape

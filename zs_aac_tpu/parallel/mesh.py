@@ -28,6 +28,7 @@ __all__ = [
     "process_index",
     "is_main_process",
     "local_batch_slice",
+    "allgather_by_index",
 ]
 
 
@@ -87,3 +88,41 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = per * jax.process_index()
     return slice(start, start + per)
+
+
+def _reassemble(gathered_index: np.ndarray, gathered_arrays):
+    """Merge process-allgathered, -1-padded (index, array) pairs back into
+    global index order. Pure so it is unit-testable without multiple
+    processes (tests/test_multihost.py)."""
+    gi = np.asarray(gathered_index).reshape(-1)
+    keep = gi >= 0
+    order = np.argsort(gi[keep], kind="stable")
+    out = []
+    for a in gathered_arrays:
+        a = np.asarray(a)
+        flat = a.reshape(-1, *a.shape[2:])
+        out.append(flat[keep][order])
+    return tuple(out)
+
+
+def allgather_by_index(index: np.ndarray, *arrays: np.ndarray):
+    """Gather per-host (index, arrays) shards onto every host, reassembled
+    in global index order — the eval-metric aggregation the reference does
+    on rank 0 only (``/root/reference/retrieval/pretrain.py:208-230``; its
+    DDP path evaluates on rank 0 without gathering at all). Handles unequal
+    per-host counts by padding with index -1 before the allgather."""
+    index = np.asarray(index, np.int64)
+    if jax.process_count() == 1:
+        order = np.argsort(index, kind="stable")
+        return tuple(np.asarray(a)[order] for a in arrays)
+    from jax.experimental import multihost_utils as mhu
+
+    m = int(np.max(mhu.process_allgather(np.asarray([index.shape[0]]))))
+
+    def pad(a, fill=0):
+        w = [(0, m - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, w, constant_values=fill)
+
+    gi = mhu.process_allgather(pad(index, -1))
+    gas = [mhu.process_allgather(pad(np.asarray(a))) for a in arrays]
+    return _reassemble(gi, gas)

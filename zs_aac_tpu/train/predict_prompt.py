@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--magic_width", type=int, default=25)
     p.add_argument("--clap_ckpt", default=None, help="ASE checkpoint for MAGIC")
     p.add_argument("--batch", type=int, default=32, help="greedy decode batch size")
+    p.add_argument("--q8", action="store_true",
+                   help="serve with int8 weights (w8a8) + int8 KV cache; "
+                        "exact-caption agreement validated on learned weights "
+                        "(tests/test_quantized_decode.py)")
     return p
 
 
@@ -109,6 +113,18 @@ def main(argv=None):
     params = load_params(os.path.join(args.test_dir, "best.pth"), params)
     wte = np.asarray(params["gpt2"]["wte"])
 
+    gpt2_serving = params["gpt2"]
+    decode_greedy, decode_beam = greedy_decode, beam_search_batched
+    if args.q8:
+        from zs_aac_tpu.decoding.beam import beam_search_batched_q8
+        from zs_aac_tpu.decoding.greedy import greedy_decode_q8
+        from zs_aac_tpu.models.gpt2 import quantize_gpt2_int8
+
+        gpt2_serving = jax.jit(lambda p: quantize_gpt2_int8(p, "w8a8"))(
+            params["gpt2"]
+        )
+        decode_greedy, decode_beam = greedy_decode_q8, beam_search_batched_q8
+
     magic_score_fn = None
     if args.magic:
         from zs_aac_tpu.decoding.magic import make_magic_scorer
@@ -155,8 +171,8 @@ def main(argv=None):
                     key2prefix[it["audio_id"]] = [get_prefix_tokens(
                         np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
                 if args.isbeam:
-                    toks, lens, scores = beam_search_batched(
-                        params["gpt2"], ccfg.gpt2, emb, args.beam_size, 67, stop_id
+                    toks, lens, scores = decode_beam(
+                        gpt2_serving, ccfg.gpt2, emb, args.beam_size, 67, stop_id
                     )
                     toks, lens, scores = (np.asarray(toks), np.asarray(lens),
                                           np.asarray(scores))
@@ -165,8 +181,8 @@ def main(argv=None):
                         ids = list(toks[b, k][: int(lens[b, k])])
                         key2pred[it["audio_id"]] = [tokenizer.decode(ids).lower()]
                 else:
-                    toks, lens = greedy_decode(
-                        params["gpt2"], ccfg.gpt2, emb, 67, stop_id, 764
+                    toks, lens = decode_greedy(
+                        gpt2_serving, ccfg.gpt2, emb, 67, stop_id, 764
                     )
                     toks, lens = np.asarray(toks), np.asarray(lens)
                     for b, it in enumerate(chunk):

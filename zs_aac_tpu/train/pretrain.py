@@ -121,12 +121,19 @@ def build_ase_from_config(config: dict):
 
 def validate(encode_audio, encode_text, variables, datamodule, max_batches=None):
     """Encode a val/test set and compute t2a/a2t recalls
-    (pretrain.py:262-284)."""
+    (pretrain.py:262-284).
+
+    Multi-host: the datamodule stride-shards batches across processes and
+    tags rows with global indices; ``allgather_by_index`` reassembles the
+    full embedding matrices on every host before the metric (the reference
+    evaluates on rank 0 only — this is the gathered equivalent)."""
     import jax.numpy as jnp
 
     from zs_aac_tpu.eval.retrieval import a2t, t2a
+    from zs_aac_tpu.parallel.mesh import allgather_by_index
 
-    audio_embs, text_embs = [], []
+    audio_embs, text_embs, indices = [], [], []
+    row = 0
     for i, batch in enumerate(datamodule):
         if max_batches and i >= max_batches:
             break
@@ -140,8 +147,14 @@ def validate(encode_audio, encode_text, variables, datamodule, max_batches=None)
                 )
             )
         )
+        if "index" in batch:
+            indices.append(np.asarray(batch["index"], np.int64))
+        else:
+            indices.append(np.arange(row, row + len(audio_embs[-1]), dtype=np.int64))
+        row += len(audio_embs[-1])
     audio = np.concatenate(audio_embs)
     text = np.concatenate(text_embs)
+    audio, text = allgather_by_index(np.concatenate(indices), audio, text)
     n = (audio.shape[0] // 5) * 5
     if n == 0:
         zero = {k: 0.0 for k in ("r1", "r5", "r10", "r50", "medr", "meanr", "mAP10")}
