@@ -65,18 +65,30 @@ def _probe_step(params, cfg: GPT2Config, logits, cache, beam_width, index,
     return packed, plogits[0], new_kv, hidden[0]
 
 
-@functools.partial(jax.jit, static_argnums=(8,))
-def _commit(cache, new_kv, sel, index, plogits, hidden, context, context_len,
-            quant=False):
-    """Write the selected candidate's K/V into the cache and advance the
-    context buffer — one device program per emitted token."""
-    from zs_aac_tpu.models.gpt2 import gpt2_commit_probe_q8
+@functools.partial(jax.jit, static_argnums=(1, 9, 12))
+def _commit_probe_step(params, cfg: GPT2Config, cache, new_kv, sel, plogits,
+                       hidden, context, commit_index, beam_width,
+                       context_len, alpha, quant=False):
+    """Commit the PREVIOUS step's selected candidate, then probe the next
+    step's candidates — fused into ONE device program so the host loop
+    costs one dispatch + one small fetch per emitted token (round-trips to
+    a remote-attached TPU dominate MAGIC wall-clock)."""
+    from zs_aac_tpu.models.gpt2 import gpt2_commit_probe_q8, gpt2_probe_step_q8
 
     commit = gpt2_commit_probe_q8 if quant else gpt2_commit_probe
-    cache = commit(cache, new_kv, sel[None], index)
+    cache = commit(cache, new_kv, sel[None], commit_index)
     logits = plogits[sel][None]
     context = context.at[context_len].set(hidden[sel])
-    return cache, logits, context
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_probs, top_ids = jax.lax.top_k(probs[0], beam_width)
+    emb = gpt2_embed(params, top_ids)[None]
+    probe = gpt2_probe_step_q8 if quant else gpt2_probe_step
+    plogits2, new_kv2, hidden2 = probe(params, cfg, emb, cache, commit_index + 1)
+    deg = _degeneration_penalty(context, hidden2[0], context_len + 1)
+    base = (1.0 - alpha) * top_probs - alpha * deg
+    packed = jnp.stack([top_ids.astype(jnp.float32), base.astype(jnp.float32)])
+    return packed, plogits2[0], new_kv2, hidden2[0], cache, context
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -215,11 +227,11 @@ def magic_search(
     context_len = Lp
 
     generated: List[int] = []
+    packed, plogits, new_kv, next_hidden = _probe_step(
+        gpt2_params, cfg, logits, cache, beam_width, Lp,
+        context, context_len, quant, alpha,
+    )
     for step in range(decoding_len):
-        packed, plogits, new_kv, next_hidden = _probe_step(
-            gpt2_params, cfg, logits, cache, beam_width, Lp + step,
-            context, context_len, quant, alpha,
-        )
         packed = np.asarray(packed)  # the step's single device->host fetch
         top_ids = packed[0].astype(np.int64)
         base = packed[1]  # (1-alpha)*p - alpha*deg, computed on device
@@ -231,14 +243,17 @@ def magic_search(
         sel = int(np.argmax(scores))
         tok = int(top_ids[sel])
         generated.append(tok)
+        if tok == stop_token_id or step == decoding_len - 1:
+            break
 
-        cache, logits, context = _commit(
-            cache, new_kv, jnp.int32(sel), Lp + step, plogits,
-            next_hidden, context, context_len, quant,
+        # commit this step's selection AND probe the next step in one
+        # device program (see _commit_probe_step)
+        packed, plogits, new_kv, next_hidden, cache, context = _commit_probe_step(
+            gpt2_params, cfg, cache, new_kv, jnp.int32(sel), plogits,
+            next_hidden, context, Lp + step, beam_width, context_len, alpha,
+            quant,
         )
         context_len += 1
-        if tok == stop_token_id:
-            break
     return generated
 
 
@@ -267,17 +282,32 @@ def _probe_step_beam(params, cfg: GPT2Config, logits, cache, magic_width,
     return packed, plogits, new_kv, hidden
 
 
-@jax.jit
-def _reorder_commit_beam(cache, new_kv, src, wsel, index, plogits, hidden,
-                         context, context_len):
-    """Reorder the (small, beam-row) cache by ``src`` and write each new
-    beam's selected candidate K/V at ``index``; advance contexts."""
+@functools.partial(jax.jit, static_argnums=(1, 10))
+def _commit_probe_beam(params, cfg: GPT2Config, cache, new_kv, src, wsel,
+                       plogits, hidden, context, commit_index, magic_width,
+                       context_len, alpha):
+    """Reorder the (small, beam-row) cache by ``src``, write each new beam's
+    selected candidate K/V at ``commit_index``, then probe the next step —
+    one device program per emitted token (host round-trips dominate on a
+    remote-attached TPU)."""
     cache = jax.tree.map(lambda x: x[:, src], cache)
     k_new, v_new = new_kv
-    cache = gpt2_commit_probe(cache, (k_new[:, src], v_new[:, src]), wsel, index)
+    cache = gpt2_commit_probe(cache, (k_new[:, src], v_new[:, src]), wsel,
+                              commit_index)
     logits = plogits[src, wsel]
     context = context[src].at[:, context_len].set(hidden[src, wsel])
-    return cache, logits, context
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    top_logp, top_ids = jax.lax.top_k(logp, magic_width)
+    emb = gpt2_embed(params, top_ids)
+    plogits2, new_kv2, hidden2 = gpt2_probe_step(params, cfg, emb, cache,
+                                                 commit_index + 1)
+    deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+        context, hidden2, context_len + 1
+    )
+    base = (1.0 - alpha) * top_logp - alpha * deg
+    packed = jnp.stack([top_ids.astype(jnp.float32), base.astype(jnp.float32)])
+    return packed, plogits2, new_kv2, hidden2, cache, context
 
 
 def generate_beam_magic(
@@ -319,11 +349,11 @@ def generate_beam_magic(
     seq_lengths = np.ones(beam_size)
     is_stopped = np.zeros(beam_size, bool)
 
+    packed, plogits, new_kv, hidden = _probe_step_beam(
+        gpt2_params, cfg, logits, cache, magic_width, Lp,
+        context, context_len, alpha,
+    )
     for i in range(entry_length):
-        packed, plogits, new_kv, hidden = _probe_step_beam(
-            gpt2_params, cfg, logits, cache, magic_width, Lp + i,
-            context, context_len, alpha,
-        )
         packed = np.asarray(packed)  # single device->host fetch per step
         ids_np = packed[0].astype(np.int64)   # [beam, w]
         base = packed[1]                      # (1-a)*logp - a*deg
@@ -360,14 +390,15 @@ def generate_beam_magic(
             scores = avg.reshape(-1)[flat] * seq_lengths
 
         tokens[:, i] = nxt
-        cache, logits, context = _reorder_commit_beam(
-            cache, new_kv, jnp.asarray(src), jnp.asarray(wsel), Lp + i,
-            plogits, hidden, context, context_len,
+        is_stopped = is_stopped | (nxt == stop_token_id)
+        if is_stopped.all() or i == entry_length - 1:
+            break
+        packed, plogits, new_kv, hidden, cache, context = _commit_probe_beam(
+            gpt2_params, cfg, cache, new_kv, jnp.asarray(src),
+            jnp.asarray(wsel), plogits, hidden, context, Lp + i,
+            magic_width, context_len, alpha,
         )
         context_len += 1
-        is_stopped = is_stopped | (nxt == stop_token_id)
-        if is_stopped.all():
-            break
 
     final = scores / seq_lengths
     order = np.argsort(-final)
