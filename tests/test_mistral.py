@@ -162,3 +162,41 @@ def test_mistral_tp_sharded_decode():
 
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_tp))
     np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_tp))
+
+
+def test_quantized_mistral_matches_float():
+    """int8 base weights (the NF4-capability analog for the 7B path): logits
+    stay close to float and greedy tokens agree on the toy model; LoRA
+    applies unmerged on top of the quantized base."""
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
+    from zs_aac_tpu.models.mistral import (
+        init_lora,
+        init_mistral,
+        mistral_forward,
+        quantize_mistral_int8,
+    )
+
+    params = init_mistral(jax.random.key(0), MCFG, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((2, 5, MCFG.hidden_size)).astype(np.float32))
+
+    logits_f = np.asarray(mistral_forward(params, MCFG, emb))
+    for mode in ("w8", "w8a8"):
+        qp = quantize_mistral_int8(params, mode)
+        logits_q = np.asarray(mistral_forward(qp, MCFG, emb))
+        denom = np.maximum(np.abs(logits_f).max(), 1e-6)
+        assert np.abs(logits_q - logits_f).max() / denom < 0.03, mode
+
+    qp = quantize_mistral_int8(params)
+    t_f, l_f = mistral_greedy_decode(params, MCFG, emb, None, 12, 10**9)
+    t_q, l_q = mistral_greedy_decode(qp, MCFG, emb, None, 12, 10**9)
+    agree = (np.asarray(t_f) == np.asarray(t_q)).mean()
+    assert agree >= 0.9, (agree, np.asarray(t_f), np.asarray(t_q))
+
+    # LoRA on top of the quantized base: zero-b LoRA is an exact identity
+    lora = init_lora(jax.random.key(1), MCFG, r=2, alpha=4)
+    logits_lq = np.asarray(mistral_forward(qp, MCFG, emb, lora=lora))
+    logits_q = np.asarray(mistral_forward(qp, MCFG, emb))
+    np.testing.assert_allclose(logits_lq, logits_q, rtol=1e-5, atol=1e-5)

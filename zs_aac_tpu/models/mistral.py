@@ -37,6 +37,7 @@ __all__ = [
     "init_mistral_cache",
     "mistral_prefill",
     "mistral_step",
+    "quantize_mistral_int8",
 ]
 
 LORA_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down", "lm_head")
@@ -79,15 +80,66 @@ def _rope(x, positions, theta):
     return x * cos + rot * sin
 
 
+def _base_matmul(x, w):
+    """x @ w for a float weight or an int8-quantized one (dict leaf, same
+    static-key dispatch as ``models.gpt2._mm``): {"w" int8 [in,out],
+    "scale" fp32 [out]} dequantizes in the matmul; "scale_a8" additionally
+    quantizes activations per-row and runs a true int8 MXU matmul — the
+    TPU-native replacement for the reference's NF4 base
+    (``caption_model.py:223-232``), which exists to fit/stream the 7B
+    weights cheaply."""
+    if isinstance(w, dict):
+        if "scale_a8" in w:
+            from zs_aac_tpu.models.gpt2 import _int8_dot
+
+            return _int8_dot(x, w["w"], w["scale_a8"], x.dtype)
+        return (x @ w["w"].astype(x.dtype)) * w["scale"].astype(x.dtype)
+    return x @ w
+
+
 def _lora_matmul(x, w, lora: Optional[Dict], scale):
     """x @ w plus the low-rank LoRA path ((x@a)@b, PEFT layout a:[in,r],
     b:[r,out]). LoRA params are stored fp32 for training precision and cast
-    to the activation dtype at use (keeps bf16 decode bf16)."""
-    out = x @ w
+    to the activation dtype at use (keeps bf16 decode bf16). The base
+    weight may be int8-quantized (``quantize_mistral_int8``) — the LoRA
+    delta stays unmerged and full precision, matching the reference's
+    NF4-base + float-LoRA serving."""
+    out = _base_matmul(x, w)
     if lora is not None:
         delta = (x @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype)
         out = out + delta * jnp.asarray(scale, x.dtype)
     return out
+
+
+def quantize_mistral_int8(params: dict, mode: str = "w8") -> dict:
+    """Per-output-channel symmetric int8 quantization of every projection
+    (q/k/v/o/gate/up/down/lm_head). ``embed`` and the RMSNorm scales stay
+    float (tiny reads). ``mode`` as in ``models.gpt2.quantize_gpt2_int8``.
+    """
+    assert mode in ("w8", "w8a8"), mode
+    skey = "scale" if mode == "w8" else "scale_a8"
+
+    def q(w):
+        w = jnp.asarray(w, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return {"w": wq, skey: scale.astype(jnp.float32)}
+
+    layers = [
+        {
+            "attn": {k: q(l["attn"][k]) for k in ("wq", "wk", "wv", "wo")},
+            "mlp": {k: q(l["mlp"][k]) for k in ("gate", "up", "down")},
+            "ln1": l["ln1"],
+            "ln2": l["ln2"],
+        }
+        for l in params["layers"]
+    ]
+    return {
+        "embed": params["embed"],
+        "layers": layers,
+        "norm": params["norm"],
+        "lm_head": q(params["lm_head"]),
+    }
 
 
 def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale,

@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--mistral_ckpt", default=None)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--langs", nargs="+", default=list(LANGS))
+    p.add_argument("--q8", action="store_true",
+                   help="serve the frozen Mistral base with int8 weights "
+                        "(quantize_mistral_int8; LoRA stays float on top — "
+                        "the reference's NF4-base + LoRA serving shape)")
     args = p.parse_args(argv)
 
     import jax
@@ -106,6 +110,12 @@ def main(argv=None):
     head = load_params(os.path.join(args.test_dir, "best.pth"),
                        {"mapper": params["mapper"], "lora": params["lora"]})
     params["mapper"], params["lora"] = head["mapper"], head["lora"]
+    if args.q8:
+        import jax as _jax
+
+        from zs_aac_tpu.models.mistral import quantize_mistral_int8
+
+        params["mistral"] = _jax.jit(quantize_mistral_int8)(params["mistral"])
 
     all_preds = {}
     for lang in args.langs:
