@@ -169,7 +169,9 @@ def test_make_tokenizer_dispatches_on_model_extension(tmp_path):
     args = argparse.Namespace(tokenizer=path)
     tok, stop_id = _make_tokenizer(args, [])
     assert isinstance(tok, SentencePieceTokenizer)
-    assert stop_id == tok.eos_id == 2
+    # stop token = the '.' piece as it appears at caption end ("a."),
+    # because eos never occurs in training targets
+    assert stop_id == tok.encode("a.")[-1]
     assert tok.decode(tok.encode("a a")) == "a a"
 
 
@@ -183,3 +185,24 @@ def test_mistral_like_defaults(tmp_path):
     ids = t.encode("hello world", add_bos=True)
     assert ids[0] == 1
     assert t.decode(ids) == "hello world"
+
+
+def test_control_pieces_not_matched_from_raw_text(unigram_tok):
+    """Literal '<s>' in user text must NOT encode to the bos control id —
+    real sentencepiece only matches normal/user-defined pieces against
+    text; control/byte pieces go through character fallback."""
+    t = unigram_tok
+    ids = t.encode("the<s>cat")
+    assert t.bos_id not in ids and t.eos_id not in ids and t.unk_id not in ids
+    assert t.decode(ids) == "the<s>cat"
+
+
+def test_no_dummy_prefix_keeps_leading_space(tmp_path):
+    pieces = _specials() + [("a", -1.0, NORMAL), (_WS, -2.0, NORMAL),
+                            (_WS + "a", -0.5, NORMAL)] + _byte_pieces()
+    path = str(tmp_path / "nodp.model")
+    write_model(path, pieces, model_type=UNIGRAM, add_dummy_prefix=False)
+    t = SentencePieceTokenizer.from_file(path)
+    assert not t.add_dummy_prefix
+    assert t.decode(t.encode(" a")) == " a"
+    assert t.decode(t.encode("a")) == "a"

@@ -177,11 +177,12 @@ def pretrain_batches(
         items = [dataset[i] for i in local_idx]
         pad = None
         if static_shapes:
-            # global max: identical bucket edge on every host
-            d = max(
-                max(lengths[i] for i in batch_idx),
-                max(len(w) / dataset.sr for w, _, _ in items),
-            )
+            # pad from GLOBAL metadata only — mixing in the local actual-wave
+            # max would let hosts disagree on the batch shape whenever
+            # metadata under-reports a clip's duration. A wave longer than
+            # its metadata bucket is truncated to the bucket edge by
+            # _collate, identically on every host.
+            d = max(lengths[i] for i in batch_idx)
             pad = bucket_pad_length(d, bucket_boundaries, dataset.sr)
         yield _collate(items, tokenizer, text_len, pad)
 

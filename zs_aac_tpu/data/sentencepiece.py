@@ -151,9 +151,15 @@ class SentencePieceTokenizer:
         self.bos_id = bos_id
         self.eos_id = eos_id
         self.piece_to_id: Dict[str, int] = {}
+        # pieces matchable against raw text: NORMAL/USER_DEFINED only —
+        # real sentencepiece never matches control/byte/unknown pieces as
+        # literal substrings ('<s>' in user text must NOT become bos)
+        self.match_to_id: Dict[str, int] = {}
         self.byte_pieces: Dict[int, int] = {}
         for i, (p, _, t) in enumerate(pieces):
             self.piece_to_id.setdefault(p, i)
+            if t in (NORMAL, USER_DEFINED):
+                self.match_to_id.setdefault(p, i)
             if t == BYTE:
                 self.byte_pieces[int(p[1:-1], 16)] = i
         self._scores = [s for _, s, _ in pieces]
@@ -249,8 +255,8 @@ class SentencePieceTokenizer:
             if best[i] == -math.inf:
                 continue
             for L in range(1, min(self._max_piece_len, n - i) + 1):
-                pid = self.piece_to_id.get(s[i : i + L])
-                if pid is not None and self.pieces[pid][2] != UNUSED:
+                pid = self.match_to_id.get(s[i : i + L])
+                if pid is not None:
                     sc = best[i] + self._scores[pid]
                     if sc > best[i + L]:
                         best[i + L] = sc
@@ -277,7 +283,7 @@ class SentencePieceTokenizer:
         while len(symbols) > 1:
             best_score, best_i = -math.inf, -1
             for i in range(len(symbols) - 1):
-                pid = self.piece_to_id.get(symbols[i] + symbols[i + 1])
+                pid = self.match_to_id.get(symbols[i] + symbols[i + 1])
                 if pid is not None and self._scores[pid] > best_score:
                     best_score, best_i = self._scores[pid], i
             if best_i < 0:
@@ -285,8 +291,8 @@ class SentencePieceTokenizer:
             symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
         ids: List[int] = []
         for sym in symbols:
-            pid = self.piece_to_id.get(sym)
-            if pid is None or self.pieces[pid][2] == UNKNOWN:
+            pid = self.match_to_id.get(sym)
+            if pid is None:
                 ids += self._fallback(sym)
             else:
                 ids.append(pid)
@@ -316,4 +322,8 @@ class SentencePieceTokenizer:
             out.append(piece)
         flush()
         text = "".join(out).replace(_WS, " ")
-        return text[1:] if text.startswith(" ") else text
+        # only the dummy prefix is stripped; without it a leading space is
+        # genuine input
+        if self.add_dummy_prefix and text.startswith(" "):
+            return text[1:]
+        return text

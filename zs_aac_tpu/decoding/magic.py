@@ -204,16 +204,15 @@ def magic_search(
     _, Lp, D = prefix_embeds.shape
     T = Lp + decoding_len
     if quant:
-        from zs_aac_tpu.models.gpt2 import gpt2_prefill_q8, init_kv_cache_q8
+        from zs_aac_tpu.models.gpt2 import quantize_kv_cache
 
-        cache = init_kv_cache_q8(cfg, 1, T)
-        # q8 prefill has no hidden-state return; run the bf16 prefill for
-        # the context hiddens (one-off cost) and the q8 one for the cache
+        # one float prefill gives logits + context hiddens; its cache is
+        # quantized in place (no second prefill)
         tmp = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
-        logits_seq, _, hidden = gpt2_prefill(
+        logits_seq, full, hidden = gpt2_prefill(
             gpt2_params, cfg, prefix_embeds, tmp, return_hidden=True
         )
-        _, cache = gpt2_prefill_q8(gpt2_params, cfg, prefix_embeds, cache)
+        cache = quantize_kv_cache(full)
     else:
         cache = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
         logits_seq, cache, hidden = gpt2_prefill(

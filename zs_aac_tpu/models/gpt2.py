@@ -744,14 +744,19 @@ def _quantize_vec(x):
     return q, scale.astype(jnp.float32)
 
 
+def quantize_kv_cache(full_cache) -> dict:
+    """Quantize a float KV cache {"k","v"} into the int8 + scales layout."""
+    qk, sk = _quantize_vec(full_cache["k"].astype(jnp.float32))
+    qv, sv = _quantize_vec(full_cache["v"].astype(jnp.float32))
+    return {"k": qk, "v": qv, "k_scale": sk, "v_scale": sv}
+
+
 def gpt2_prefill_q8(params, cfg: GPT2Config, inputs_embeds, cache):
     """Prefill then quantize the prompt's K/V into the int8 cache."""
     tmp = init_kv_cache(cfg, inputs_embeds.shape[0], cache["k"].shape[3],
                         inputs_embeds.dtype)
     logits, full = gpt2_prefill(params, cfg, inputs_embeds, tmp)
-    qk, sk = _quantize_vec(full["k"].astype(jnp.float32))
-    qv, sv = _quantize_vec(full["v"].astype(jnp.float32))
-    return logits, {"k": qk, "v": qv, "k_scale": sk, "v_scale": sv}
+    return logits, quantize_kv_cache(full)
 
 
 def gpt2_step_q8(params, cfg: GPT2Config, x_embed, cache, index):

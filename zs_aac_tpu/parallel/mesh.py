@@ -84,8 +84,18 @@ def is_main_process() -> bool:
 
 def local_batch_slice(global_batch: int) -> slice:
     """Per-host slice of a global batch (replaces DistributedSampler's
-    rank-offset sharding, datamodule.py:52-54)."""
-    per = global_batch // jax.process_count()
+    rank-offset sharding, datamodule.py:52-54).
+
+    The global batch must divide evenly: a floored share would silently
+    drop the tail rows of EVERY batch (and uneven shards cannot tile a
+    batch-sharded global array anyway)."""
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global batch {global_batch} must be divisible by "
+            f"process_count {n} for per-host sharding"
+        )
+    per = global_batch // n
     start = per * jax.process_index()
     return slice(start, start + per)
 

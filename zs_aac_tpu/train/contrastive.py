@@ -122,8 +122,11 @@ def make_ase_train_step(
     return train_step
 
 
-def make_encode_fns(ase: ASE, mel_cfg: Optional[LogMelConfig] = None, mel_impl: str = "xla"):
-    """Jitted eval-mode encoders (embedding generation, retrieval metrics)."""
+def make_encode_fns(ase: ASE, mel_cfg: Optional[LogMelConfig] = None,
+                    mel_impl: str = "pallas"):
+    """Jitted eval-mode encoders (embedding generation, retrieval metrics).
+    Default frontend is the fused Pallas kernel (3.2x the rFFT path,
+    parity-tested against it); pass ``mel_impl="xla"`` for the oracle."""
     from zs_aac_tpu.ops.logmel import log_mel
 
     mel_cfg = mel_cfg or LogMelConfig()

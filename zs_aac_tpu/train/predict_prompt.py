@@ -37,8 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clap_ckpt", default=None, help="ASE checkpoint for MAGIC")
     p.add_argument("--batch", type=int, default=32, help="greedy decode batch size")
     p.add_argument("--q8", action="store_true",
-                   help="serve with int8 weights (w8a8) + int8 KV cache; "
-                        "exact-caption agreement validated on learned weights "
+                   help="serve with int8 weights (w8a8) + int8 KV cache "
+                        "(greedy/beam); with --magic the weights are int8 "
+                        "but the probe cache stays bf16. Exact-caption "
+                        "agreement validated on learned weights "
                         "(tests/test_quantized_decode.py)")
     return p
 
@@ -145,7 +147,7 @@ def main(argv=None):
             key2prefix[it["audio_id"]] = [get_prefix_tokens(
                 np.asarray(emb[0, -ccfg.prefix_length:]), wte, tokenizer)]
             cand, _ = generate_beam_magic(
-                params["gpt2"], ccfg.gpt2, emb, it["prefix"], magic_score_fn,
+                gpt2_serving, ccfg.gpt2, emb, it["prefix"], magic_score_fn,
                 beam_size=3, magic_width=args.magic_width,
                 alpha=args.alpha, beta=args.beta, stop_token_id=stop_id,
             )

@@ -108,7 +108,12 @@ def _make_tokenizer(args, records_paths):
             from zs_aac_tpu.data.sentencepiece import SentencePieceTokenizer
 
             sp = SentencePieceTokenizer.from_file(args.tokenizer)
-            return sp, sp.eos_id
+            # stop on the '.' piece as it appears at caption end (captions
+            # are "... .", so the trained final token is the word-attached
+            # period, not eos — eos is never in the training targets)
+            period = sp.encode("a.")
+            stop = period[-1] if period else sp.eos_id
+            return sp, stop
         tok = GPT2BPETokenizer.from_dir(args.tokenizer)
         return tok, tok.encode(".")[0]
     corpus = []
