@@ -145,3 +145,29 @@ def test_q8_cache_decode_agrees_with_bf16():
     # well-separated toy model
     agree = (np.asarray(t_ref) == np.asarray(t_q8)).mean()
     assert agree > 0.9, (agree, np.asarray(t_ref), np.asarray(t_q8))
+
+
+def test_gpt2_tp_sharded_decode_matches_unsharded():
+    """Serving story: greedy AND beam decode with TP-sharded GPT-2 weights
+    on the 8-device mesh must compile, run, and match unsharded decode
+    token-for-token (the GPT-2 analog of the Mistral TP parity test)."""
+    from jax.sharding import Mesh
+
+    from zs_aac_tpu.decoding.beam import beam_search_batched
+    from zs_aac_tpu.parallel.tp import shard_gpt2_params
+
+    assert len(jax.devices()) == 8
+    params, prefix = _setup(9, b=2)
+
+    t_ref, l_ref = greedy_decode(params, CFG, prefix, 12, STOP, 764)
+    bt_ref, bl_ref, _ = beam_search_batched(params, CFG, prefix, 3, 10, STOP)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    sharded = shard_gpt2_params(params, mesh)
+    t_tp, l_tp = greedy_decode(sharded, CFG, prefix, 12, STOP, 764)
+    bt_tp, bl_tp, _ = beam_search_batched(sharded, CFG, prefix, 3, 10, STOP)
+
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_tp))
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_tp))
+    np.testing.assert_array_equal(np.asarray(bt_ref), np.asarray(bt_tp))
+    np.testing.assert_array_equal(np.asarray(bl_ref), np.asarray(bl_tp))
