@@ -242,3 +242,33 @@ def test_swin_block_golden_vs_torch():
                      window=window, shift=shift, mlp_ratio=4.0, drop_path=0.0)
     got = np.asarray(blk.apply({"params": params}, jnp.asarray(x), False))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_window_attention_matches_xla():
+    """The Pallas fused window-attention path must match the XLA
+    roll/partition/attend/reverse path through the full HTSAT trunk
+    (same params — the fused flag changes no param paths)."""
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.models.htsat import HTSAT
+
+    kw = dict(spec_size=64, patch_stride=4, patch_size=4, embed_dim=32,
+              depths=(2, 2), num_heads=(2, 4), window_size=4, n_mels=16)
+    ref = HTSAT(**kw)
+    fused = HTSAT(fused_attn=True, **kw)
+
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.standard_normal((2, 251, 16)).astype(np.float32))
+    variables = jax.jit(lambda r, s: ref.init({"params": r}, s, train=False))(
+        jax.random.key(0), spec
+    )
+    # identical param trees (the fused path defines the same params)
+    v2 = jax.jit(lambda r, s: fused.init({"params": r}, s, train=False))(
+        jax.random.key(0), spec
+    )
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+
+    out_ref = jax.jit(lambda v, s: ref.apply(v, s, train=False))(variables, spec)
+    out_fused = jax.jit(lambda v, s: fused.apply(v, s, train=False))(variables, spec)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)

@@ -91,6 +91,11 @@ class ASEConfig:
     text_model: str = "bert-base-uncased"
     spec_augmentation: bool = True
     audio_channels: Optional[tuple] = None  # override Cnn14 widths (tests)
+    # fused Pallas window attention in HTSAT (inference only — the kernel
+    # has no VJP; parity-tested against the XLA path; perf-neutral at
+    # B=32/64 on v5e with honest chained-dep timing, kept as a base for
+    # further stage-1 kernel work)
+    fused_attn: bool = False
     dtype: Any = jnp.float32
 
 
@@ -154,7 +159,8 @@ class ASE(nn.Module):
             from zs_aac_tpu.models.htsat import HTSAT
 
             self.audio_enc = HTSAT(
-                spec_augmentation=c.spec_augmentation, dtype=c.dtype, name="audio_enc"
+                spec_augmentation=c.spec_augmentation, dtype=c.dtype,
+                fused_attn=c.fused_attn, name="audio_enc"
             )
         else:
             raise ValueError(f"unknown audio encoder {c.audio_encoder!r}")

@@ -116,6 +116,22 @@ def _window_reverse(x, window, H, W):
 # ---------------------------------------------------------------------------
 
 
+class _LinParams(nn.Module):
+    """Bare Dense parameters (same init AND same param paths as nn.Dense,
+    so checkpoints/converters are layout-stable) — lets the fused Pallas
+    path consume the raw kernels."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros, (self.dout,))
+        return k, b
+
+
 class _WindowAttention(nn.Module):
     dim: int
     window: int
@@ -123,32 +139,59 @@ class _WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):  # x: [B_, N, C]
-        B_, N, C = x.shape
+    def __call__(self, x, mask=None, *, fused_image=None, shift: int = 0):
+        """Windowed attention.
+
+        XLA path: ``x`` is pre-partitioned [B_, N, C]. Fused path: pass the
+        un-partitioned image via ``fused_image`` [B, H, W, C] (ignore ``x``)
+        — the whole roll/partition/attend/reverse/unroll chain runs inside
+        one Pallas kernel (ops/window_attn.py)."""
+        C = self.dim
         h = self.num_heads
         d = C // h
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        att = jnp.einsum("bhqd,bhkd->bhqk", q * (d**-0.5), k)
-
+        N = self.window * self.window
+        dt = self.dtype
+        qkv_k, qkv_b = _LinParams(C, 3 * C, name="qkv")()
+        proj_k, proj_b = _LinParams(C, C, name="proj")()
         table = self.param(
             "rpb_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window - 1) ** 2, h),
         )
         idx = _relative_position_index(self.window, self.window)
-        bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
-        att = att + bias[None]
+        rpb = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+
+        if fused_image is not None:
+            from zs_aac_tpu.ops.window_attn import (
+                build_window_bias,
+                fused_window_attention,
+            )
+
+            B, H, W, _ = fused_image.shape
+            nH, nW = H // self.window, W // self.window
+            bias = build_window_bias(rpb, mask, nH, nW)
+            return fused_window_attention(
+                fused_image.astype(dt), qkv_k.astype(dt), qkv_b.astype(dt),
+                proj_k.astype(dt), proj_b.astype(dt), bias,
+                self.window, h, shift,
+            )
+
+        x = x.astype(dt)
+        B_, N_, C_ = x.shape
+        qkv = x @ qkv_k.astype(dt) + qkv_b.astype(dt)
+        qkv = qkv.reshape(B_, N_, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = jnp.einsum("bhqd,bhkd->bhqk", q * (d**-0.5), k)
+        att = att + rpb[None]
 
         if mask is not None:
-            nW = mask.shape[0]
-            att = att.reshape(B_ // nW, nW, h, N, N) + mask[None, :, None]
-            att = att.reshape(B_, h, N, N)
+            nWm = mask.shape[0]
+            att = att.reshape(B_ // nWm, nWm, h, N_, N_) + mask[None, :, None]
+            att = att.reshape(B_, h, N_, N_)
         att = jax.nn.softmax(att, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N_, C_)
+        return (out.astype(dt) @ proj_k.astype(dt) + proj_b.astype(dt))
 
 
 class _SwinBlock(nn.Module):
@@ -160,6 +203,7 @@ class _SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     dtype: Any = jnp.float32
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -173,15 +217,20 @@ class _SwinBlock(nn.Module):
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(B, H, W, C)
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        xw = _window_partition(x, window)
         mask = _shift_attn_mask(H, W, window, shift)
         mask = jnp.asarray(mask) if mask is not None else None
-        xw = _WindowAttention(C, window, self.num_heads, self.dtype, name="attn")(xw, mask)
-        x = _window_reverse(xw, window, H, W)
-        if shift > 0:
-            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        attn = _WindowAttention(C, window, self.num_heads, self.dtype,
+                                name="attn")
+        if self.fused_attn:
+            x = attn(None, mask, fused_image=x, shift=shift)
+        else:
+            if shift > 0:
+                x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            xw = _window_partition(x, window)
+            xw = attn(xw, mask)
+            x = _window_reverse(xw, window, H, W)
+            if shift > 0:
+                x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x.reshape(B, L, C)
 
         x = shortcut + self._drop_path(x, train)
@@ -233,6 +282,7 @@ class HTSAT(nn.Module):
     n_mels: int = 64
     spec_augmentation: bool = True
     remat: bool = False  # rematerialize swin blocks (reference use_checkpoint)
+    fused_attn: bool = False  # Pallas fused window attention (inference)
     dtype: Any = jnp.float32
 
     @property
@@ -303,7 +353,8 @@ class HTSAT(nn.Module):
                     window=self.window_size,
                     shift=0 if j % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk_id]),
-                    dtype=self.dtype, name=f"layer{i}_block{j}",
+                    dtype=self.dtype, fused_attn=self.fused_attn,
+                    name=f"layer{i}_block{j}",
                 )(x, train)
                 blk_id += 1
             if i < len(self.depths) - 1:

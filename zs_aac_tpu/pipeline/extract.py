@@ -73,6 +73,13 @@ def load_ase_encoders(config: dict, ckpt: Optional[str] = None):
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             variables,
         )
+    if jax.default_backend() == "tpu" and config.get("fused_attn", False):
+        # inference-only: the fused Pallas window attention (same params)
+        import dataclasses
+
+        from zs_aac_tpu.models.ase import ASE
+
+        ase = ASE(dataclasses.replace(ase.cfg, fused_attn=True))
     enc_a, enc_t = make_encode_fns(ase, mel_cfg, mel_impl=config.get("mel_impl", "pallas")
                                    if jax.default_backend() == "tpu" else "xla")
 
