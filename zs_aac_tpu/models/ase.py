@@ -92,10 +92,10 @@ class ASEConfig:
     spec_augmentation: bool = True
     audio_channels: Optional[tuple] = None  # override Cnn14 widths (tests)
     # fused Pallas window attention in HTSAT (inference only — the kernel
-    # has no VJP; parity-tested against the XLA path; perf-neutral at
-    # B=32/64 on v5e with honest chained-dep timing, kept as a base for
-    # further stage-1 kernel work)
-    fused_attn: bool = False
+    # has no VJP; parity-tested against the XLA path; 1.38x on the full
+    # trunk at B=64 bf16 on v5e, chained-dep timing). True/False or a
+    # tuple of stage indices.
+    fused_attn: Any = False
     dtype: Any = jnp.float32
 
 

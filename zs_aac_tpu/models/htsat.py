@@ -282,12 +282,19 @@ class HTSAT(nn.Module):
     n_mels: int = 64
     spec_augmentation: bool = True
     remat: bool = False  # rematerialize swin blocks (reference use_checkpoint)
-    fused_attn: bool = False  # Pallas fused window attention (inference)
+    # Pallas fused window attention (inference): True/False for all stages,
+    # or a tuple of stage indices (e.g. (0, 1)) to fuse only those stages.
+    fused_attn: Any = False
     dtype: Any = jnp.float32
 
     @property
     def freq_ratio(self) -> int:
         return self.spec_size // self.n_mels
+
+    def _stage_fused(self, i: int) -> bool:
+        if isinstance(self.fused_attn, (tuple, list, frozenset)):
+            return i in self.fused_attn
+        return bool(self.fused_attn)
 
     @property
     def num_features(self) -> int:
@@ -353,7 +360,7 @@ class HTSAT(nn.Module):
                     window=self.window_size,
                     shift=0 if j % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk_id]),
-                    dtype=self.dtype, fused_attn=self.fused_attn,
+                    dtype=self.dtype, fused_attn=self._stage_fused(i),
                     name=f"layer{i}_block{j}",
                 )(x, train)
                 blk_id += 1

@@ -1,30 +1,42 @@
 """Fused Swin window attention as a Pallas TPU kernel.
 
 The Swin blocks in ``models/htsat.py`` are the CLAP audio tower's hot loop
-(SURVEY.md §3 hot-loop #1). The XLA path spends most of stage-1/2 time NOT
-in matmuls but in HBM relayouts: ``roll -> window_partition (transpose) ->
-attention -> window_reverse (transpose) -> roll back`` each materialize the
-full [B, H, W, C] activation (measured: stage 1 alone is half the trunk
-time at ~2% MFU). This kernel reads each window-row slab into VMEM once and
-does the (cyclic column shift, windowing, qkv, bias+mask, softmax, value,
-proj, un-shift) chain entirely in VMEM — no windowed or column-rolled HBM
-intermediates exist. The row component of the cyclic shift is expressed as
-a wrap-extended slice on input and a single roll on output (1 copy vs the
-XLA path's ~5 full-activation relayouts per shifted block).
+(SURVEY.md §3 hot-loop #1; reference torch chain
+``models/htsat.py:WindowAttention.forward`` + roll/partition/reverse).
+The XLA path spends most of stage-1/2 time NOT in matmuls but in HBM
+relayouts: ``roll -> window_partition (transpose) -> attention ->
+window_reverse (transpose) -> roll back`` each materialize the full
+[B, H, W, C] activation, and the attention matmuls contract over head dim
+24 (19% MXU lane utilization). This kernel:
+
+- reads a multi-window-row slab into VMEM once and runs the whole (cyclic
+  column shift, windowing, qkv, bias+mask, softmax, value, proj, un-shift)
+  chain in VMEM — no windowed or column-rolled HBM intermediates exist;
+  the row component of the cyclic shift is a wrap-extended slice on input
+  plus a single roll on output.
+- uses a *masked-head* attention formulation: instead of h small
+  [N, d=24]-contraction matmuls per window, it builds
+  ``q_all [nWin, h*N, C]`` where head-block h of rows is q with all but
+  that head's channels zeroed, so scores for ALL heads come from ONE
+  full-C-contraction MXU dot ``q_all @ k^T`` (and values from one
+  ``p_all @ v``). This costs h x the naive flops but at full lane
+  utilization — and h*C*H*W is constant across HTSAT stages, so every
+  fused block costs the same ~26 GFLOP at batch 64, well under the MXU
+  roofline where the relayout-bound XLA path sits.
 
 Measured (v5e, chained-data-dep timing — NOT repeated identical calls,
-which the axon tunnel serves from cache): full-trunk parity with the XLA
-path but perf-NEUTRAL (28.7 ms vs 28.7 ms at B=64 bf16; 0.96x at B=32).
-The relayout savings are currently offset by the per-head python loop's
-small matmuls ([nW, N, d] with d=24..32 pads badly on the MXU). Kept
-off-by-default as the base for further stage-1 kernel work.
+which the axon tunnel serves from cache), full HTSAT trunk B=64 bf16:
+30.6 ms all-XLA -> 22.2 ms all-fused (1.38x); per-stage ablation shows
+stage 1 contributes most (-5.9 ms). A first kernel version that kept the
+reference's per-head [N, d=24] dots was perf-NEUTRAL despite fusing the
+relayouts — the masked-head big-matmul formulation is what unlocks it.
 
 ``bias``: per-window fp32 (relative-position bias + shift mask), shape
 [nH, nW, h, N, N], precomputed on host in the rolled window frame.
 
 Parity: tests require the kernel to match the XLA formulation
 (``models/htsat.py::_WindowAttention`` + partition/roll) on all HTSAT
-stage shapes, shifted and unshifted.
+stage shapes, shifted and unshifted (tests/test_htsat.py).
 """
 
 from __future__ import annotations
@@ -54,67 +66,101 @@ def build_window_bias(rpb, mask, nH: int, nW: int):
 
 
 def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, bias_ref,
-            out_ref, *, window: int, num_heads: int, shift: int):
-    """One window-row slab: x_ref [1, w, W, C] -> out_ref [1, w, W, C]."""
+            out_ref, *, window: int, num_heads: int, shift: int, rows: int):
+    """``rows`` window-rows per instance: x_ref [1, rows*w, W, C]."""
     w = window
-    slab = x_ref[0]                       # [w, W, C]
+    slab = x_ref[0]                       # [R, W, C], R = rows*w
     W = slab.shape[1]
     C = slab.shape[2]
     h = num_heads
     d = C // h
     N = w * w
     nW = W // w
+    nWin = rows * nW
+    dt = slab.dtype
 
     if shift:
         # cyclic column shift in VMEM
         slab = jnp.concatenate([slab[:, shift:], slab[:, :shift]], axis=1)
 
-    # [w, W, C] -> [nW, N, C]: column chunks become windows
-    xw = slab.reshape(w, nW, w, C).transpose(1, 0, 2, 3).reshape(nW, N, C)
+    # [R, W, C] -> [nWin, N, C]: window partition via major-dim-only
+    # reshape/transpose (minor (w, C) dims untouched — a Mosaic constraint)
+    xw = (
+        slab.reshape(rows, w, nW, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nWin * N, C)
+    )
 
     qkv = (
-        jnp.dot(xw.reshape(nW * N, C), qkv_w_ref[:],
-                preferred_element_type=jnp.float32)
+        jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
         + qkv_b_ref[0]
-    )                                      # [nW*N, 3C]
-    # Mosaic constraints shape the next part: tpu.matmul takes at most one
-    # batch dim, and shape casts may only split/merge MAJOR dims (the
-    # [.., 3, h, d] minor-dim split is rejected). So heads are a small
-    # static python loop over major-dim-only reshapes.
+    ).astype(dt)                           # [nWin*N, 3C]
+    q = qkv[:, 0 * C : 1 * C].reshape(nWin, N, C)
+    k = qkv[:, 1 * C : 2 * C].reshape(nWin, N, C)
+    v = qkv[:, 2 * C : 3 * C].reshape(nWin, N, C)
+
+    # masked-head expansion: mask2[r, c] = 1 iff channel c belongs to the
+    # head owning row-block r//N. Built as a 2-D iota (Mosaic rejects the
+    # [h, C] -> [1, h, 1, C] unit-dim-adjacent-to-minor broadcast).
+    mask2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 1) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 0) // N
+    ).astype(dt)                           # [h*N, C]
     scale = float(1.0 / np.sqrt(d))
-    bias = bias_ref[0]                     # [nW, h, N, N]
-    head_outs = []
-    for head in range(h):
-        def sl(base):
-            col = base + head * d
-            return qkv[:, col : col + d].reshape(nW, N, d)
+    q_all = jnp.concatenate([q] * h, axis=1) * mask2[None]  # [nWin, h*N, C]
 
-        qh, kh, vh = sl(0), sl(C), sl(2 * C)
-        s = jax.lax.dot_general(
-            qh * scale, kh,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                  # [nW, N, N]
-        s = s + bias[:, head]
-        p = jax.nn.softmax(s, axis=-1)
-        oh = jax.lax.dot_general(
-            p, vh,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                  # [nW, N, d]
-        head_outs.append(oh.reshape(nW * N, d))
-    o = jnp.concatenate(head_outs, axis=1).astype(x_ref.dtype)  # [nW*N, C]
+    s = jax.lax.dot_general(
+        q_all * jnp.asarray(scale, dt), k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                      # [nWin, h*N, N]
+    s = s + bias_ref[:].reshape(nWin, h * N, N)
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    o_all = jax.lax.dot_general(
+        p, v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)                           # [nWin, h*N, C]
+    # head h's rows carry sums over ALL C of p@v; only head-h channels are
+    # wanted — mask and add the head blocks back together
+    o_all = o_all * mask2[None]
+    o = o_all[:, 0:N, :]
+    for head in range(1, h):
+        o = o + o_all[:, head * N : (head + 1) * N, :]
+
     o = (
-        jnp.dot(o, proj_w_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(o.reshape(nWin * N, C), proj_w_ref[:],
+                preferred_element_type=jnp.float32)
         + proj_b_ref[0]
-    ).astype(x_ref.dtype)
+    ).astype(dt)
 
-    # [nW, N, C] -> [w, W, C]
-    o = o.reshape(nW, w, w, C).transpose(1, 0, 2, 3).reshape(w, W, C)
+    # [nWin, N, C] -> [R, W, C]
+    o = (
+        o.reshape(rows, nW, w, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * w, W, C)
+    )
     if shift:
         # cyclic column un-shift in VMEM
         o = jnp.concatenate([o[:, W - shift :], o[:, : W - shift]], axis=1)
     out_ref[0] = o
+
+
+def _pick_rows(nH: int, nW: int, N: int, C: int, num_heads: int,
+               itemsize: int) -> int:
+    """Largest divisor of nH whose dominant VMEM buffers fit ~6 MB
+    (leaves room for Mosaic double-buffering in ~16 MB VMEM)."""
+    for rows in range(nH, 0, -1):
+        if nH % rows:
+            continue
+        nWin = rows * nW
+        q_all = nWin * num_heads * N * C * itemsize
+        s = nWin * num_heads * N * N * 4
+        o_all = nWin * num_heads * N * C * itemsize
+        bias = s
+        if q_all + 2 * s + o_all + bias < 6 * 1024 * 1024:
+            return rows
+    return 1
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
@@ -133,6 +179,7 @@ def fused_window_attention(
     w = window
     nH, nW = H // w, W // w
     N = w * w
+    rows = _pick_rows(nH, nW, N, C, num_heads, x.dtype.itemsize)
 
     if shift:
         # rolled row p holds original row (p+shift) mod H: a wrap-extended
@@ -144,11 +191,12 @@ def fused_window_attention(
         x_in = x
 
     out = pl.pallas_call(
-        functools.partial(_kernel, window=w, num_heads=num_heads, shift=shift),
-        grid=(B, nH),
+        functools.partial(_kernel, window=w, num_heads=num_heads, shift=shift,
+                          rows=rows),
+        grid=(B, nH // rows),
         interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec((1, w, W, C), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 3 * C), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -158,10 +206,11 @@ def fused_window_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nW, num_heads, N, N), lambda b, i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda b, i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, w, W, C), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
     )(x_in, qkv_w, qkv_b.reshape(1, -1), proj_w, proj_b.reshape(1, -1), bias)

@@ -73,7 +73,7 @@ def load_ase_encoders(config: dict, ckpt: Optional[str] = None):
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             variables,
         )
-    if jax.default_backend() == "tpu" and config.get("fused_attn", False):
+    if jax.default_backend() == "tpu" and config.get("fused_attn", True):
         # inference-only: the fused Pallas window attention (same params)
         import dataclasses
 
