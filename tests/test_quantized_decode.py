@@ -180,3 +180,41 @@ def test_q8_magic_exact_on_learned_weights(learned):
     got_f = magic_search(gp, ccfg.gpt2, emb[:1], audio, score_fn, **kw)
     got_q = magic_search(gp, ccfg.gpt2, emb[:1], audio, score_fn, quant=True, **kw)
     assert got_q == got_f
+
+
+def test_q8p_packed_step_matches_q8(learned):
+    """The experimental channel-packed cache + Pallas decode-attention
+    kernel (gpt2_step_q8p; measured slower end to end on v5e, kept as a
+    documented experiment) must stay semantically equivalent to the
+    head-structured q8 step: same captions on learned weights."""
+    from zs_aac_tpu.models.gpt2 import (
+        gpt2_embed,
+        gpt2_prefill_q8,
+        gpt2_prefill_q8p,
+        gpt2_step_q8,
+        gpt2_step_q8p,
+        init_kv_cache_q8,
+        init_kv_cache_q8p,
+    )
+
+    tok, ccfg, params, emb, refs = learned
+    gp = params["gpt2"]
+    gcfg = ccfg.gpt2
+    B, Lp, _ = emb.shape
+    steps = 10
+
+    def run(init, prefill, step):
+        cache = init(gcfg, B, Lp + steps)
+        logits, cache = prefill(gp, gcfg, emb, cache)
+        cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        toks = [cur]
+        for i in range(steps - 1):
+            logits, cache = step(gp, gcfg, gpt2_embed(gp, cur), cache,
+                                 jnp.int32(Lp + i))
+            cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks.append(cur)
+        return np.stack([np.asarray(t) for t in toks], 1)
+
+    t_ref = run(init_kv_cache_q8, gpt2_prefill_q8, jax.jit(gpt2_step_q8, static_argnums=1))
+    t_pkd = run(init_kv_cache_q8p, gpt2_prefill_q8p, jax.jit(gpt2_step_q8p, static_argnums=1))
+    assert (t_ref == t_pkd).mean() > 0.95  # bf16 vs kernel associativity slack
