@@ -123,6 +123,11 @@ def test_pretrain_and_finetune_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "best_model.ckpt"))
     log = open(glob_one(f"{root}/outputs", "output.log")).read()
     assert "t2a" in log and "r1" in log
+    # checkpoint-faithful final eval (reference pretrain.py:232-255): every
+    # SAVED checkpoint is restored and evaluated on the test set — best-by-
+    # loss plus the per-dataset best-by-recall one.
+    assert "Toy-test[best_model]" in log
+    assert "Toy-test[Toy_best_model]" in log
 
     from zs_aac_tpu.train.finetune import main as finetune_main
 

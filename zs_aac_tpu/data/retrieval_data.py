@@ -133,6 +133,17 @@ class AudioCaptionDataset:
 def _collate(items, tokenizer, text_len: int, pad_samples: Optional[int]) -> Dict:
     waves, texts, ids = zip(*items)
     T = pad_samples or max(len(w) for w in waves)
+    over = max((len(w) for w in waves), default=0) - T
+    if over > 0:
+        # metadata under-reported a clip's duration: the wave is cut at the
+        # bucket edge (identically on every host). Surface it — silent
+        # truncation would hide bad manifests.
+        import logging
+
+        logging.getLogger("zs_aac_tpu.data").warning(
+            "collate truncating wave(s) by up to %d samples to the %d-sample "
+            "bucket edge (manifest duration under-reports the clip)", over, T
+        )
     wav = np.zeros((len(waves), T), np.float32)
     for i, w in enumerate(waves):
         wav[i, : min(len(w), T)] = w[:T]
@@ -166,7 +177,14 @@ def pretrain_batches(
     length comes from the GLOBAL batch's bucket so shapes agree across
     hosts.
     """
-    lengths = dataset.lengths if hasattr(dataset, "lengths") else [30.0] * len(dataset)
+    if hasattr(dataset, "lengths"):
+        lengths = dataset.lengths
+    else:
+        # No duration metadata: derive real lengths once up front instead of
+        # assuming 30 s for everything (which would pad every batch to the
+        # top bucket and silently truncate anything longer than its guess).
+        sr = getattr(dataset, "sr", 1)
+        lengths = [len(dataset[i][0]) / sr for i in range(len(dataset))]
     sampler = BySequenceLengthSampler(
         lengths, bucket_boundaries, batch_size, drop_last=True, seed=seed,
     )

@@ -166,7 +166,11 @@ def q8_decode_attention(
             jax.ShapeDtypeStruct((B, C), jnp.float32),
         ],
         # operand indices INCLUDE the scalar-prefetch arg: 0=index, 1=qm,
-        # 2=ck, 3=cv, ...
+        # 2=ck, 3=cv, ... — a version-sensitive Pallas convention (verified
+        # on jax 0.9.0; TPU-path aliasing exercised via the verify skill,
+        # the CPU interpret-mode tests do not prove the TPU lowering).
+        # If a JAX upgrade shifts whether scalar-prefetch args count, the
+        # symptom is a wrong-operand alias: cache rows stop persisting.
         input_output_aliases={2: 0, 3: 1},
         interpret=jax.default_backend() != "tpu",
     )(index, qm, ck, cv, kn, vn, scale_qk, sv, bias)

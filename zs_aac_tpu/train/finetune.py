@@ -106,15 +106,18 @@ def main(argv=None):
             if args.max_steps and it >= args.max_steps:
                 break
         logger.info("epoch %d: loss %.4f, %.1fs", epoch, meter.avg, time.time() - t0)
+        # validate() contains a multi-host collective — every process must
+        # enter it; only logging/checkpointing is rank-0 (see pretrain.py).
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        m_t2a, m_a2t = validate(encode_audio, encode_text, variables,
+                                dm.val_batches(), args.max_val_batches)
         if is_main_process():
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            m_t2a, m_a2t = validate(encode_audio, encode_text, variables,
-                                    dm.val_batches(), args.max_val_batches)
             log_results(logger, m_t2a, args.dataset, "t2a", epoch)
             log_results(logger, m_a2t, args.dataset, "a2t", epoch)
-            rsum = m_t2a["r1"] + m_t2a["r5"] + m_t2a["r10"]
-            if rsum > best_recall:
-                best_recall = rsum
+        rsum = m_t2a["r1"] + m_t2a["r5"] + m_t2a["r10"]
+        if rsum > best_recall:
+            best_recall = rsum
+            if is_main_process():
                 save_train_state(os.path.join(ckpt_dir, "best_model.ckpt"), state)
         if args.max_steps and it >= args.max_steps:
             break

@@ -327,37 +327,54 @@ def main(argv=None):
         if run:
             run.log({"loss": meter.avg, "epoch": epoch})
 
-        if is_main_process():
-            if meter.avg < best_loss:
-                best_loss = meter.avg
-                save_train_state(os.path.join(ckpt_dir, "best_model.ckpt"), state)
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            for ds_name, dm in val_modules.items():
-                m_t2a, m_a2t = validate(
-                    encode_audio, encode_text, variables, dm.val_batches(),
-                    args.max_val_batches,
-                )
+        if is_main_process() and meter.avg < best_loss:
+            best_loss = meter.avg
+            save_train_state(os.path.join(ckpt_dir, "best_model.ckpt"), state)
+        # Every process must run validate(): the allgather_by_index inside is
+        # a multi-host collective all ranks join (rank-0-only entry would
+        # deadlock). The gathered metrics are identical on every host, so the
+        # best-recall tracking is consistent; only logging and checkpoint
+        # writes stay rank-0.
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        for ds_name, dm in val_modules.items():
+            m_t2a, m_a2t = validate(
+                encode_audio, encode_text, variables, dm.val_batches(),
+                args.max_val_batches,
+            )
+            if is_main_process():
                 log_results(logger, m_t2a, ds_name, "t2a", epoch, run)
                 log_results(logger, m_a2t, ds_name, "a2t", epoch, run)
-                rsum = m_t2a["r1"] + m_t2a["r5"] + m_t2a["r10"]
-                if rsum > best_recall[ds_name]:
-                    best_recall[ds_name] = rsum
+            rsum = m_t2a["r1"] + m_t2a["r5"] + m_t2a["r10"]
+            if rsum > best_recall[ds_name]:
+                best_recall[ds_name] = rsum
+                if is_main_process():
                     save_train_state(
                         os.path.join(ckpt_dir, f"{ds_name}_best_model.ckpt"), state
                     )
         if args.max_steps and it >= args.max_steps:
             break
 
-    # final test eval (pretrain.py:232-255)
-    if is_main_process():
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Final test eval of every SAVED checkpoint (pretrain.py:232-255): the
+    # reference reloads best_model.pt + each {ds}_best_model.pt and evaluates
+    # all of them on every test set — not the in-memory final state.
+    ckpt_names = ["best_model"] + [f"{ds}_best_model" for ds in val_modules]
+    for ckpt_name in ckpt_names:
+        path = os.path.join(ckpt_dir, f"{ckpt_name}.ckpt")
+        if not os.path.exists(path):
+            continue
+        eval_state = restore_train_state(path, state)
+        variables = {"params": eval_state.params,
+                     "batch_stats": eval_state.batch_stats}
         for ds_name, dm in val_modules.items():
             m_t2a, m_a2t = validate(
                 encode_audio, encode_text, variables, dm.test_batches(),
                 args.max_val_batches,
             )
-            log_results(logger, m_t2a, f"{ds_name}-test", "t2a", epochs, run)
-            log_results(logger, m_a2t, f"{ds_name}-test", "a2t", epochs, run)
+            if is_main_process():
+                log_results(logger, m_t2a, f"{ds_name}-test[{ckpt_name}]",
+                            "t2a", epochs, run)
+                log_results(logger, m_a2t, f"{ds_name}-test[{ckpt_name}]",
+                            "a2t", epochs, run)
     print(f"done: {ckpt_dir}", flush=True)
     return ckpt_dir
 

@@ -108,11 +108,15 @@ def _make_tokenizer(args, records_paths):
             from zs_aac_tpu.data.sentencepiece import SentencePieceTokenizer
 
             sp = SentencePieceTokenizer.from_file(args.tokenizer)
-            # stop on the '.' piece as it appears at caption end (captions
-            # are "... .", so the trained final token is the word-attached
-            # period, not eos — eos is never in the training targets)
-            period = sp.encode("a.")
-            stop = period[-1] if period else sp.eos_id
+            # Stop on the '.' piece as it appears at caption end (captions
+            # end "....", so the trained final token is the word-attached
+            # period piece, not eos — eos is never in the training targets).
+            # Look the piece up directly; an example segmentation's tail is
+            # fragile (a vocab can hold "a." as one piece, whose id is not
+            # the period). Fall back to the byte piece, then eos.
+            stop = sp.piece_to_id.get(".")
+            if stop is None:
+                stop = sp.byte_pieces.get(ord("."), sp.eos_id)
             return sp, stop
         tok = GPT2BPETokenizer.from_dir(args.tokenizer)
         return tok, tok.encode(".")[0]
