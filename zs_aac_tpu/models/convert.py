@@ -31,6 +31,9 @@ __all__ = [
     "convert_cnn",
     "convert_resnet38",
     "convert_htsat",
+    "convert_mapper",
+    "convert_caption",
+    "convert_ase",
 ]
 
 
@@ -173,3 +176,144 @@ def convert_htsat(state_dict: Mapping, depths=(2, 2, 6, 2)) -> dict:
     put_ln(("norm",), "norm")
     _put_conv(params, ("tscam_conv",), sd, "tscam_conv")
     return _finish(params, stats)
+
+
+# ---------------------------------------------------------------------------
+# Captioner checkpoints (best.pth) and full CLAP checkpoints (HTSAT-BERT-*.pt)
+# ---------------------------------------------------------------------------
+
+
+def convert_mapper(state_dict: Mapping, mapping_type: str, num_layers: int = 8) -> dict:
+    """Reference mapper state_dict -> params for ``models.mapper``.
+
+    Torch layouts (``/root/reference/models/mapper.py``): the MLP is an
+    ``nn.Sequential`` under ``model.`` with Linears at even indices
+    (``mapper.py:6-18``); the TransformerMapper holds ``linear``,
+    ``prefix_const`` and ``transformer.layers.{i}`` with ``norm1/norm2``,
+    ``attn.{to_queries,to_keys_values,project}`` (q/kv bias-free —
+    ``TransformerLayer`` defaults ``bias=False``, ``mapper.py:81``) and
+    ``mlp.{fc1,fc2}`` (``mapper.py:20-35``).
+    """
+    sd = to_numpy_state_dict(state_dict)
+    if mapping_type == "mlp":
+        idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("model.")})
+        p = {}
+        for j, i in enumerate(idxs):
+            p[f"fc{j}"] = {"kernel": linear_kernel(sd[f"model.{i}.weight"])}
+            if f"model.{i}.bias" in sd:
+                p[f"fc{j}"]["bias"] = sd[f"model.{i}.bias"]
+        return p
+    if mapping_type != "transformer":
+        raise ValueError(f"unknown mapping_type {mapping_type!r}")
+
+    def dense(prefix, bias=True):
+        out = {"kernel": linear_kernel(sd[prefix + ".weight"])}
+        if bias and prefix + ".bias" in sd:
+            out["bias"] = sd[prefix + ".bias"]
+        return out
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    p = {"linear": dense("linear"), "prefix_const": sd["prefix_const"]}
+    for i in range(num_layers):
+        src = f"transformer.layers.{i}"
+        p[f"layer{i}"] = {
+            "norm1": ln(f"{src}.norm1"),
+            "norm2": ln(f"{src}.norm2"),
+            "attn": {
+                "to_queries": dense(f"{src}.attn.to_queries", bias=False),
+                "to_keys_values": dense(f"{src}.attn.to_keys_values", bias=False),
+                "project": dense(f"{src}.attn.project"),
+            },
+            "fc1": dense(f"{src}.mlp.fc1"),
+            "fc2": dense(f"{src}.mlp.fc2"),
+        }
+    return p
+
+
+def convert_caption(state_dict: Mapping, cfg) -> dict:
+    """Reference ``ClapCaption*`` checkpoint (``best.pth``/``last.pth``,
+    ``/root/reference/train_prompt.py:167-177``) -> the caption-model param
+    pytree {"mapper", "gpt2"[, "sound_effect"]}.
+
+    ``cfg`` is a ``models.caption.CaptionConfig`` (supplies mapping_type,
+    num_layers and the GPT-2 shape). Keys: ``gpt.*`` (HF GPT2LMHeadModel),
+    ``clap_project.*`` (mapper), optional ``soundeffect_project.*``.
+    """
+    from zs_aac_tpu.models.gpt2 import convert_gpt2
+
+    sd = to_numpy_state_dict(state_dict)
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    out = {
+        "gpt2": convert_gpt2(sub("gpt."), cfg.gpt2),
+        "mapper": convert_mapper(sub("clap_project."), cfg.mapping_type,
+                                 cfg.num_layers),
+    }
+    se = sub("soundeffect_project.")
+    if se:
+        out["sound_effect"] = convert_mapper(se, "mlp")
+    return out
+
+
+def convert_ase(state_dict: Mapping, cfg) -> dict:
+    """Full CLAP checkpoint (the reference's ``HTSAT-BERT-ZS.pt`` layout,
+    ``retrieval/models/ase_model.py:21-46``) -> ``models.ase.ASE`` variables.
+
+    ``cfg`` is an ``ASEConfig``. Keys: ``audio_encoder.audio_enc.*`` (PANNs
+    CNN or HTSAT), ``text_encoder.text_encoder.*`` (the HF tower),
+    ``audio_proj.{0,2}.*`` / ``text_proj.{0,2}.*`` (Linear-ReLU-Linear
+    Sequentials) and the scalar ``temp``.
+    """
+    sd = to_numpy_state_dict(state_dict)
+
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    audio_sd = sub("audio_encoder.audio_enc.")
+    if cfg.audio_encoder == "htsat":
+        audio = convert_htsat(audio_sd)
+    elif cfg.audio_encoder == "resnet38":
+        audio = convert_resnet38(audio_sd)
+    else:
+        n_blocks = len(cfg.audio_channels) if cfg.audio_channels else 6
+        audio = convert_cnn(audio_sd, n_blocks=n_blocks)
+
+    text_sd = sub("text_encoder.text_encoder.")
+    from zs_aac_tpu.models.ase import CLIP_TEXT_REGISTRY, GPT2_TEXT_REGISTRY, text_config
+
+    if cfg.text_model in CLIP_TEXT_REGISTRY:
+        from zs_aac_tpu.models.text_towers import CLIPTextConfig, convert_clip_text
+
+        text = convert_clip_text(text_sd, CLIPTextConfig(**CLIP_TEXT_REGISTRY[cfg.text_model]))
+    elif cfg.text_model in GPT2_TEXT_REGISTRY:
+        from zs_aac_tpu.models.text_towers import GPT2EncoderConfig, convert_gpt2_encoder
+
+        text = convert_gpt2_encoder(text_sd, GPT2EncoderConfig(**GPT2_TEXT_REGISTRY[cfg.text_model]))
+    else:
+        from zs_aac_tpu.models.bert import convert_bert
+
+        text = convert_bert(text_sd, text_config(cfg.text_model))
+
+    def proj(prefix):
+        return {
+            "fc1": {"kernel": linear_kernel(sd[prefix + ".0.weight"]),
+                    "bias": sd[prefix + ".0.bias"]},
+            "fc2": {"kernel": linear_kernel(sd[prefix + ".2.weight"]),
+                    "bias": sd[prefix + ".2.bias"]},
+        }
+
+    params = {
+        "audio_enc": audio["params"],
+        "text_enc": text["params"],
+        "audio_proj": proj("audio_proj"),
+        "text_proj": proj("text_proj"),
+        "temp": np.asarray(sd["temp"], np.float32).reshape(()),
+    }
+    batch_stats = {}
+    if audio.get("batch_stats"):
+        batch_stats["audio_enc"] = audio["batch_stats"]
+    return {"params": params, "batch_stats": batch_stats}
