@@ -68,7 +68,8 @@ def test_t2a_perfect_retrieval():
 
 def test_ptb_tokenize():
     assert ptb_tokenize("A dog barks, loudly!") == ["a", "dog", "barks", "loudly"]
-    assert ptb_tokenize("it's raining.") == ["it's", "raining"]
+    # PTB splits contractions: "it's" -> it + 's
+    assert ptb_tokenize("it's raining.") == ["it", "'s", "raining"]
 
 
 def test_bleu_perfect_and_partial():
@@ -111,3 +112,177 @@ def test_eval_prediction_end_to_end():
     assert out["CIDEr"] > 0
     assert out["SPIDEr_approx"] is True  # no Java stack in this env
     assert out["SPIDEr"] == out["CIDEr"] / 2
+
+
+# ---------------------------------------------------------------------------
+# Independent-implementation goldens (VERDICT r2 #7): BLEU vs nltk,
+# ROUGE-L/CIDEr vs from-scratch formula transcriptions, a PTBTokenizer
+# behavior fixture.
+# ---------------------------------------------------------------------------
+
+
+def _random_corpus(seed, n_keys=12, n_refs=5, vocab=14):
+    """Small-vocab corpora so every BLEU n-gram precision is nonzero."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    refs, hyps = {}, {}
+    for k in range(n_keys):
+        key = f"k{k}"
+        refs[key] = [
+            [words[i] for i in rng.integers(0, vocab, rng.integers(8, 15))]
+            for _ in range(n_refs)
+        ]
+        base = list(refs[key][int(rng.integers(0, n_refs))])
+        # perturb a copy of one reference so precisions are high but not 1
+        for _ in range(3):
+            base[int(rng.integers(0, len(base)))] = words[int(rng.integers(0, vocab))]
+        hyps[key] = base
+    return refs, hyps
+
+
+def test_bleu_golden_vs_nltk_corpus_bleu():
+    from nltk.translate.bleu_score import corpus_bleu
+
+    refs, hyps = _random_corpus(0)
+    ours = bleu(refs, hyps)
+    keys = sorted(hyps)
+    list_of_refs = [refs[k] for k in keys]
+    hypotheses = [hyps[k] for k in keys]
+    for n in range(1, 5):
+        weights = tuple([1.0 / n] * n)
+        want = corpus_bleu(list_of_refs, hypotheses, weights=weights)
+        np.testing.assert_allclose(ours[n - 1], want, rtol=1e-9,
+                                   err_msg=f"BLEU-{n}")
+
+
+def _lcs_recursive(a, b):
+    """Independent LCS (memoized recursion, not the DP in eval.captioning)."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def go(i, j):
+        if i == len(a) or j == len(b):
+            return 0
+        if a[i] == b[j]:
+            return 1 + go(i + 1, j + 1)
+        return max(go(i + 1, j), go(i, j + 1))
+
+    return go(0, 0)
+
+
+def test_rouge_l_golden_vs_independent_formula():
+    """pycocoevalcap rouge.py semantics: max precision and max recall over
+    refs taken SEPARATELY, then F_beta with beta=1.2, averaged over keys."""
+    refs, hyps = _random_corpus(1)
+    beta = 1.2
+    want = 0.0
+    for k, hyp in hyps.items():
+        pm = max(_lcs_recursive(tuple(hyp), tuple(r)) / len(hyp) for r in refs[k])
+        rm = max(_lcs_recursive(tuple(hyp), tuple(r)) / len(r) for r in refs[k])
+        want += ((1 + beta**2) * pm * rm) / (rm + beta**2 * pm) if pm and rm else 0
+    want /= len(hyps)
+    np.testing.assert_allclose(rouge_l(refs, hyps), want, rtol=1e-12)
+
+
+def test_rouge_l_separate_max_hand_worked():
+    """Hand-worked case where max-precision and max-recall come from
+    DIFFERENT references — distinguishes pycocoevalcap's formula from the
+    (wrong) max-F-per-reference variant."""
+    refs = {"a": [["x", "y"],                      # lcs=2: prec=2/3, rec=1
+                  ["x", "y", "z", "q", "r", "s"]]}  # lcs=3: prec=1, rec=1/2
+    hyps = {"a": ["x", "y", "z"]}
+    beta = 1.2
+    pm, rm = 1.0, 1.0  # prec from ref2, rec from ref1
+    want = ((1 + beta**2) * pm * rm) / (rm + beta**2 * pm)  # = 1.0
+    np.testing.assert_allclose(rouge_l(refs, hyps), want, rtol=1e-12)
+    # max-F-per-reference would give strictly less than 1.0
+    f1 = ((1 + beta**2) * (2 / 3) * 1.0) / (1.0 + beta**2 * (2 / 3))
+    f2 = ((1 + beta**2) * 1.0 * 0.5) / (0.5 + beta**2 * 1.0)
+    assert max(f1, f2) < want
+
+
+def test_cider_golden_vs_independent_formula():
+    """From-scratch transcription of pycocoevalcap cider_scorer.py
+    (counts2vec/sim): idf = log N - log max(1, df); CIDEr-D clipped
+    numerator; gaussian length penalty; x10; ref-averaged."""
+    import math
+    from collections import Counter as C
+
+    refs, hyps = _random_corpus(2)
+
+    def ngr(toks, n):
+        return C(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+    df = {}
+    for rs in refs.values():
+        for g in {g for r in rs for n in range(1, 5) for g in ngr(r, n)}:
+            df[g] = df.get(g, 0) + 1
+    logN = math.log(len(refs))
+
+    def vec(toks):
+        vs, ns = [], []
+        for n in range(1, 5):
+            v = {g: c * (logN - math.log(max(1.0, df.get(g, 0.0))))
+                 for g, c in ngr(toks, n).items()}
+            vs.append(v)
+            ns.append(math.sqrt(sum(x * x for x in v.values())))
+        return vs, ns
+
+    want = 0.0
+    for k, hyp in hyps.items():
+        hv, hn = vec(hyp)
+        acc = 0.0
+        for r in refs[k]:
+            rv, rn = vec(r)
+            pen = math.exp(-((len(hyp) - len(r)) ** 2) / (2 * 6.0**2))
+            for n in range(4):
+                num = sum(min(hv[n][g], rv[n].get(g, 0.0)) * rv[n].get(g, 0.0)
+                          for g in hv[n])
+                if hn[n] and rn[n]:
+                    acc += pen * num / (hn[n] * rn[n])
+        want += 10.0 * acc / 4 / len(refs[k])
+    want /= len(hyps)
+    np.testing.assert_allclose(cider(refs, hyps), want, rtol=1e-12)
+
+
+def test_cider_hand_worked_value():
+    """Fully hand-computed tiny case (two docs so idf is nonzero)."""
+    import math
+
+    refs = {"a": [["x", "y"]], "b": [["z", "w"]]}
+    hyps = {"a": ["x", "q"], "b": ["z", "w"]}
+    # N=2 docs; every ref n-gram df=1 -> idf = log 2 for all
+    l2 = math.log(2.0)
+    # key a: unigrams hyp {x:l2(clipped vs ref x), q:0(df=0 -> idf=log2? no:
+    #   idf=log2-log(max(1,0))=log2 but ref count 0 -> num contribution 0)}
+    #   num1 = min(l2, l2)*l2 = l2^2; |h1|=sqrt(2)*l2 (x,q both weight l2),
+    #   |r1|=sqrt(2)*l2 -> cos1 = l2^2/(2 l2^2) = 0.5
+    #   bigrams: hyp {(x,q)} not in ref -> 0. penalty exp(0)=1.
+    #   score_a = 10 * (0.5 + 0 + 0 + 0)/4 = 1.25
+    # key b: perfect match both n=1,2; n=3,4 empty (norms 0) -> 10*(1+1)/4=5
+    want = (1.25 + 5.0) / 2
+    np.testing.assert_allclose(cider(refs, hyps), want, rtol=1e-12)
+
+
+def test_ptb_tokenize_fixture():
+    """Quantifies ptb_tokenize vs the Java PTBTokenizer+punct-strip on the
+    constructions that differ between naive splitting and PTB."""
+    cases = {
+        # PTB-faithful behavior
+        "A man, riding a well-known horse.":
+            ["a", "man", "riding", "a", "well-known", "horse"],
+        "Don't stop; it's the dog's bowl!":
+            ["do", "n't", "stop", "it", "'s", "the", "dog", "'s", "bowl"],
+        "We'll we've we're we'd I'm":
+            ["we", "'ll", "we", "'ve", "we", "'re", "we", "'d", "i", "'m"],
+        "can't won't": ["ca", "n't", "wo", "n't"],
+        "the boys' toys (two of them)":
+            ["the", "boys", "toys", "two", "of", "them"],
+        "o'clock chimes": ["o'clock", "chimes"],
+        # Documented DEVIATIONS from the Java tokenizer (PTB keeps "3.5"
+        # and "10,000" whole; neither occurs in the caption corpora):
+        "3.5 km away": ["3", "5", "km", "away"],
+        "10,000 people cheer": ["10", "000", "people", "cheer"],
+    }
+    for text, want in cases.items():
+        assert ptb_tokenize(text) == want, (text, ptb_tokenize(text), want)

@@ -36,13 +36,33 @@ _PUNCT = {
     "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 }
-_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z]+)?|[^\sa-z0-9]")
+# words may contain internal hyphens/apostrophes (PTB keeps "well-known"
+# and "o'clock" single); everything else splits to single non-space chars
+_TOKEN_RE = re.compile(r"[a-z0-9]+(?:[-'][a-z0-9]+)*|[^\sa-z0-9]")
+# PTB contraction splitting: "don't" -> do + n't, "cat's" -> cat + 's,
+# "we'll" -> we + 'll, etc. (Stanford PTBTokenizer behavior).
+_CONTR_RE = re.compile(r"^([a-z0-9].*?)(n't|'(?:s|d|m|ll|re|ve))$")
 
 
 def ptb_tokenize(text: str) -> List[str]:
-    """Lowercase word tokenization approximating PTBTokenizer + punct strip."""
-    toks = _TOKEN_RE.findall(text.lower())
-    return [t for t in toks if t not in _PUNCT and not re.fullmatch(r"[^\w]+", t)]
+    """Lowercase word tokenization approximating the Java PTBTokenizer +
+    pycocoevalcap's punctuation strip.
+
+    Matches PTB on contractions (split), possessives (split), and
+    hyphenated words (kept whole). Known deviations, quantified in
+    tests/test_metrics.py::test_ptb_tokenize_fixture: decimal/comma-grouped
+    numbers split at the separator ("3.5" -> 3, 5 — PTB keeps them), and
+    PTB's special-cased lexicon ("gonna" -> gon + na, "cannot" -> can +
+    not) is not applied. Neither form occurs in the caption corpora.
+    """
+    out: List[str] = []
+    for t in _TOKEN_RE.findall(text.lower()):
+        m = _CONTR_RE.match(t)
+        if m:
+            out.extend((m.group(1), m.group(2)))
+        else:
+            out.append(t)
+    return [t for t in out if t not in _PUNCT and not re.fullmatch(r"[^\w]+", t)]
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -102,17 +122,19 @@ def rouge_l(
 ) -> float:
     total = 0.0
     for key, hyp in hyps.items():
-        best = 0.0
+        # pycocoevalcap's rouge.py takes max precision and max recall over
+        # the references SEPARATELY (possibly from different references)
+        # and combines those — not the max per-reference F score.
+        prec_max = 0.0
+        rec_max = 0.0
         for r in refs[key]:
             l = _lcs_len(hyp, r)
-            if l == 0:
-                continue
-            prec = l / len(hyp) if hyp else 0.0
-            rec = l / len(r) if r else 0.0
-            if prec and rec:
-                f = ((1 + beta**2) * prec * rec) / (rec + beta**2 * prec)
-                best = max(best, f)
-        total += best
+            prec_max = max(prec_max, l / len(hyp) if hyp else 0.0)
+            rec_max = max(rec_max, l / len(r) if r else 0.0)
+        if prec_max and rec_max:
+            total += ((1 + beta**2) * prec_max * rec_max) / (
+                rec_max + beta**2 * prec_max
+            )
     return total / max(len(hyps), 1)
 
 
