@@ -38,57 +38,64 @@ from zs_aac_tpu.models.gpt2 import (
     init_kv_cache,
 )
 
-__all__ = ["magic_search", "generate_beam_magic", "make_magic_scorer", "clap_logprobs"]
+__all__ = ["magic_search", "magic_search_batched", "generate_beam_magic",
+           "make_magic_scorer", "clap_logprobs"]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4, 8))
 def _probe_step(params, cfg: GPT2Config, logits, cache, beam_width, index,
                 context, context_len, quant=False, alpha=0.1):
-    """Expand the top-k candidates one step over the SHARED cache (no
-    cache broadcast — ``gpt2_probe_step``), compute the degeneration
+    """Expand each clip's top-k candidates one step over the SHARED cache
+    (no cache broadcast — ``gpt2_probe_step``), compute the degeneration
     penalty AND the non-CLAP part of the MAGIC score in the same device
-    program. Returns (packed [2, k] fp32 — row 0 candidate ids, row 1
-    ``(1-alpha)*p - alpha*deg``; probe_logits [k, V], new_kv,
-    next_hidden [k, D]). Packing matters: the host loop fetches ONE small
-    array per step instead of three — device->host round-trips dominate
-    MAGIC wall-clock on remote-attached TPUs."""
+    program. ``logits``: [B, V]; ``context``: [B, T, D]. Returns (packed
+    [2, B, k] fp32 — plane 0 candidate ids, plane 1
+    ``(1-alpha)*p - alpha*deg``; probe_logits [B, k, V], new_kv,
+    next_hidden [B, k, D]). Packing matters: the host loop fetches ONE
+    small array per step instead of three — device->host round-trips
+    dominate MAGIC wall-clock on remote-attached TPUs, and batching B
+    clips through the same fetch amortizes the RTT B-fold."""
     from zs_aac_tpu.models.gpt2 import gpt2_probe_step_q8
 
-    probs = jax.nn.softmax(logits, axis=-1)  # [1, V]
-    top_probs, top_ids = jax.lax.top_k(probs[0], beam_width)
-    emb = gpt2_embed(params, top_ids)[None]  # [1, k, D]
+    probs = jax.nn.softmax(logits, axis=-1)             # [B, V]
+    top_probs, top_ids = jax.lax.top_k(probs, beam_width)
+    emb = gpt2_embed(params, top_ids)                   # [B, k, D]
     probe = gpt2_probe_step_q8 if quant else gpt2_probe_step
     plogits, new_kv, hidden = probe(params, cfg, emb, cache, index)
-    deg = _degeneration_penalty(context, hidden[0], context_len)
+    deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+        context, hidden, context_len
+    )
     base = (1.0 - alpha) * top_probs - alpha * deg
     packed = jnp.stack([top_ids.astype(jnp.float32), base.astype(jnp.float32)])
-    return packed, plogits[0], new_kv, hidden[0]
+    return packed, plogits, new_kv, hidden
 
 
 @functools.partial(jax.jit, static_argnums=(1, 9, 12))
 def _commit_probe_step(params, cfg: GPT2Config, cache, new_kv, sel, plogits,
                        hidden, context, commit_index, beam_width,
                        context_len, alpha, quant=False):
-    """Commit the PREVIOUS step's selected candidate, then probe the next
-    step's candidates — fused into ONE device program so the host loop
-    costs one dispatch + one small fetch per emitted token (round-trips to
-    a remote-attached TPU dominate MAGIC wall-clock)."""
+    """Commit each clip's PREVIOUS selected candidate (``sel``: [B]), then
+    probe the next step's candidates — fused into ONE device program so the
+    host loop costs one dispatch + one small fetch per emitted token."""
     from zs_aac_tpu.models.gpt2 import gpt2_commit_probe_q8, gpt2_probe_step_q8
 
     commit = gpt2_commit_probe_q8 if quant else gpt2_commit_probe
-    cache = commit(cache, new_kv, sel[None], commit_index)
-    logits = plogits[sel][None]
-    context = context.at[context_len].set(hidden[sel])
+    cache = commit(cache, new_kv, sel, commit_index)
+    rows = jnp.arange(sel.shape[0])
+    logits = plogits[rows, sel]                         # [B, V]
+    context = context.at[:, context_len].set(hidden[rows, sel])
 
     probs = jax.nn.softmax(logits, axis=-1)
-    top_probs, top_ids = jax.lax.top_k(probs[0], beam_width)
-    emb = gpt2_embed(params, top_ids)[None]
+    top_probs, top_ids = jax.lax.top_k(probs, beam_width)
+    emb = gpt2_embed(params, top_ids)
     probe = gpt2_probe_step_q8 if quant else gpt2_probe_step
     plogits2, new_kv2, hidden2 = probe(params, cfg, emb, cache, commit_index + 1)
-    deg = _degeneration_penalty(context, hidden2[0], context_len + 1)
+    deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+        context, hidden2, context_len + 1
+    )
     base = (1.0 - alpha) * top_probs - alpha * deg
     packed = jnp.stack([top_ids.astype(jnp.float32), base.astype(jnp.float32)])
-    return packed, plogits2[0], new_kv2, hidden2[0], cache, context
+    return packed, plogits2, new_kv2, hidden2, cache, context
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -140,7 +147,115 @@ def make_magic_scorer(
         embs = np.asarray(encode_text_fn(texts))
         return clap_logprobs(np.asarray(audio_embed).reshape(-1), embs, temp)
 
+    def scorer_batched(audio_embeds: np.ndarray, candidate_ids) -> np.ndarray:
+        """[B, E] audio embeds x B lists of k candidate token lists ->
+        [B, k] CLAP log-softmax scores. All B*k candidate strings go
+        through the text tower in ONE batch (the per-step cost the
+        single-clip path pays B times). When the encoder returns a device
+        array, the log-softmax runs on device too and only the tiny [B, k]
+        score matrix crosses the host boundary — the [B*k, E] embedding
+        fetch (~3 MB/step at width 25, batch 32) would otherwise dominate
+        on a remote-attached chip."""
+        B = len(candidate_ids)
+        k = len(candidate_ids[0])
+        texts = [tokenizer.decode(ids) for row in candidate_ids for ids in row]
+        embs = encode_text_fn(texts)
+        if isinstance(embs, jax.Array):
+            return np.asarray(
+                _clap_logprobs_device(jnp.asarray(audio_embeds),
+                                      embs.reshape(B, k, -1), temp)
+            )
+        embs = np.asarray(embs).reshape(B, k, -1)
+        out = np.empty((B, k), np.float32)
+        for b in range(B):
+            out[b] = clap_logprobs(
+                np.asarray(audio_embeds[b]).reshape(-1), embs[b], temp
+            )
+        return out
+
+    scorer.batched = scorer_batched
+    dev = getattr(encode_text_fn, "device", None)
+    if dev is not None:
+        import types
+
+        scorer.device = types.SimpleNamespace(
+            apply_fn=dev.apply_fn, variables=dev.variables,
+            tokenize=dev.tokenize, temp=temp, tokenizer=tokenizer,
+        )
     return scorer
+
+
+@jax.jit
+def _clap_logprobs_device(audio: jax.Array, text: jax.Array, temp) -> jax.Array:
+    """[B, E] x [B, k, E] -> [B, k] per-clip log-softmax over candidates
+    (device-side twin of ``clap_logprobs``)."""
+    a = audio / jnp.maximum(
+        jnp.linalg.norm(audio, axis=-1, keepdims=True), 1e-12
+    )
+    t = text / jnp.maximum(jnp.linalg.norm(text, axis=-1, keepdims=True), 1e-12)
+    logits = jnp.einsum("bke,be->bk", t, a.astype(t.dtype)) / temp
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused batched step: CLAP text tower + score + select + commit + next
+# probe in ONE device program — the host's only per-step work is string
+# detokenize/tokenize, and its only per-step boundary is one packed fetch.
+# ---------------------------------------------------------------------------
+
+_FUSED_STEP_CACHE: dict = {}
+
+
+def _fused_magic_step_for(apply_fn, cfg: GPT2Config, quant: bool):
+    """Build (and cache, so jit traces once per scorer/config) the fused
+    MAGIC step. ``apply_fn(enc_vars, ids, mask) -> [n, E]`` is the CLAP
+    text tower as a pure jittable function."""
+    key = (apply_fn, cfg, quant)
+    if key in _FUSED_STEP_CACHE:
+        return _FUSED_STEP_CACHE[key]
+
+    from zs_aac_tpu.models.gpt2 import gpt2_commit_probe_q8, gpt2_probe_step_q8
+
+    commit = gpt2_commit_probe_q8 if quant else gpt2_commit_probe
+    probe = gpt2_probe_step_q8 if quant else gpt2_probe_step
+
+    @jax.jit
+    def fused(params, enc_vars, cache, new_kv, packed, plogits, hidden,
+              context, cand_ids, audio, commit_index,
+              context_len, alpha, beta, temp):
+        B, k = packed.shape[1], packed.shape[2]
+        # 1. CLAP-score this step's candidates (ids plane of ``packed``)
+        embs = apply_fn(enc_vars, cand_ids)
+        clap = _clap_logprobs_device(audio, embs.reshape(B, k, -1), temp)
+        ids = packed[0].astype(jnp.int32)
+        scores = packed[1] + beta * clap
+        sel = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        tok = jnp.take_along_axis(ids, sel[:, None], axis=1)[:, 0]
+        # 2. commit the selection
+        cache2 = commit(cache, new_kv, sel, commit_index)
+        rows = jnp.arange(B)
+        logits = plogits[rows, sel]
+        context2 = context.at[:, context_len].set(hidden[rows, sel])
+        # 3. probe the next step's candidates
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_probs, top_ids = jax.lax.top_k(probs, k)
+        emb = gpt2_embed(params, top_ids)
+        plogits2, new_kv2, hidden2 = probe(params, cfg, emb, cache2,
+                                           commit_index + 1)
+        deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+            context2, hidden2, context_len + 1
+        )
+        base2 = (1.0 - alpha) * top_probs - alpha * deg
+        # plane 2 carries THIS step's selected token back to the host in
+        # the same fetch that delivers the next step's candidates
+        packed2 = jnp.stack([
+            top_ids.astype(jnp.float32), base2.astype(jnp.float32),
+            jnp.broadcast_to(tok.astype(jnp.float32)[:, None], (B, k)),
+        ])
+        return packed2, plogits2, new_kv2, hidden2, cache2, context2
+
+    _FUSED_STEP_CACHE[key] = fused
+    return fused
 
 
 def _load_ase_text_encoder(path: str):
@@ -176,18 +291,48 @@ def _load_ase_text_encoder(path: str):
     def enc(vv, ids, mask):
         return ASE(cfg).apply(vv, ids, mask, train=False, method=ASE.encode_text)
 
-    def encode(texts: List[str]) -> np.ndarray:
-        ids, mask = wp.batch_encode(texts, max_length=30)
-        return np.asarray(enc(variables, jnp.asarray(ids), jnp.asarray(mask)))
+    def encode(texts: List[str]):
+        ids, mask = wp.batch_encode(texts, max_length=30, pad_to_max=True)
+        # returned ON DEVICE: the batched scorer finishes the scoring there
+        # and fetches only [B, k] floats (see scorer_batched)
+        return enc(variables, jnp.asarray(ids), jnp.asarray(mask))
 
+    # pure-apply surface for the fully-fused batched MAGIC step
+    import types
+
+    def _apply(vv, ids, _cfg=cfg):
+        # WordPiece [PAD] is id 0 — the attention mask is derived on
+        # device so the host uploads ONE compact array per step
+        mask = (ids != 0).astype(jnp.int32)
+        return ASE(_cfg).apply(vv, ids.astype(jnp.int32), mask, train=False,
+                               method=ASE.encode_text)
+
+    def _tokenize(texts):
+        # Compact upload: int16 ids (BERT vocab < 32k), and pad only to the
+        # smallest length bucket covering this step's longest candidate —
+        # early decode steps carry 1-2 words, padding them all to 30 would
+        # triple the text-tower FLOPs over a full decode. Masked BERT
+        # attention makes the embedding invariant to trailing padding, so
+        # bucketing is semantics-free.
+        ids, mask = wp.batch_encode(texts, max_length=30, pad_to_max=True)
+        ids = np.asarray(ids, np.int16)
+        actual = int(np.asarray(mask).sum(1).max())
+        for bucket in (8, 16, 30):
+            if actual <= bucket:
+                return ids[:, :bucket]
+        return ids
+
+    encode.device = types.SimpleNamespace(
+        apply_fn=_apply, variables=variables, tokenize=_tokenize,
+    )
     return encode
 
 
-def magic_search(
+def magic_search_batched(
     gpt2_params: dict,
     cfg: GPT2Config,
-    prefix_embeds: jax.Array,       # [1, Lp, D]
-    audio_embed: np.ndarray,        # [E] CLAP audio embedding
+    prefix_embeds: jax.Array,       # [B, Lp, D]
+    audio_embeds: np.ndarray,       # [B, E] CLAP audio embeddings
     score_fn,                       # from make_magic_scorer
     beam_width: int = 25,
     alpha: float = 0.1,
@@ -195,65 +340,150 @@ def magic_search(
     decoding_len: int = 67,
     stop_token_id: int = 13,
     quant: bool = False,
-) -> List[int]:
-    """Greedy MAGIC decode; returns the generated token ids.
+) -> List[List[int]]:
+    """Greedy MAGIC decode over a clip batch; returns B token-id lists.
+
+    The per-step host fetch is one packed [2, B, k] array and the per-step
+    CLAP text-tower call scores all B*k candidates at once — the same two
+    RTT-bound boundaries as the single-clip loop, amortized B-fold (the
+    round-2 single-clip measurement was 0.35 clips/s, fully tunnel-RTT-
+    bound; see BASELINE.md). Per-clip token streams are identical to B=1
+    runs (batch-invariance is tested in tests/test_magic_and_drivers.py).
 
     ``quant=True`` streams the shared history through an int8 KV cache
     (``gpt2_probe_step_q8``); token agreement with the float cache is
     validated on learned weights in tests/test_quantized_decode.py."""
-    _, Lp, D = prefix_embeds.shape
+    B, Lp, D = prefix_embeds.shape
     T = Lp + decoding_len
+    audio_embeds = np.asarray(audio_embeds).reshape(B, -1)
     if quant:
         from zs_aac_tpu.models.gpt2 import quantize_kv_cache
 
         # one float prefill gives logits + context hiddens; its cache is
         # quantized in place (no second prefill)
-        tmp = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
+        tmp = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
         logits_seq, full, hidden = gpt2_prefill(
             gpt2_params, cfg, prefix_embeds, tmp, return_hidden=True
         )
         cache = quantize_kv_cache(full)
     else:
-        cache = init_kv_cache(cfg, 1, T, prefix_embeds.dtype)
+        cache = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
         logits_seq, cache, hidden = gpt2_prefill(
             gpt2_params, cfg, prefix_embeds, cache, return_hidden=True
         )
-    logits = logits_seq[:, -1].astype(jnp.float32)
-    # context hiddens buffer [T, D] (ranking uses all of them, prefix incl.)
-    context = jnp.zeros((T, D), prefix_embeds.dtype).at[:Lp].set(
-        hidden[0].astype(prefix_embeds.dtype)
+    logits = logits_seq[:, -1].astype(jnp.float32)      # [B, V]
+    # context hiddens [B, T, D] (ranking uses all of them, prefix incl.)
+    context = jnp.zeros((B, T, D), prefix_embeds.dtype).at[:, :Lp].set(
+        hidden.astype(prefix_embeds.dtype)
     )
     context_len = Lp
 
-    generated: List[int] = []
+    score_batched = getattr(score_fn, "batched", None)
+    generated: List[List[int]] = [[] for _ in range(B)]
+    finished = np.zeros(B, bool)
     packed, plogits, new_kv, next_hidden = _probe_step(
         gpt2_params, cfg, logits, cache, beam_width, Lp,
         context, context_len, quant, alpha,
     )
+
+    dev = getattr(score_fn, "device", None)
+    if dev is not None:
+        # Fully-fused loop: CLAP text tower + score + select + commit +
+        # next probe run as ONE device program per emitted token; the host
+        # only detokenizes candidate ids to strings, re-tokenizes for the
+        # text tower, and pays a single packed fetch per step.
+        fused = _fused_magic_step_for(dev.apply_fn, cfg, quant)
+        audio_dev = jnp.asarray(audio_embeds)
+        tokenizer = dev.tokenizer
+        for step in range(decoding_len):
+            packed_np = np.asarray(packed)      # single fetch per step
+            if packed_np.shape[0] == 3:          # planes 0/1 = next cands;
+                toks = packed_np[2, :, 0].astype(np.int64)  # plane 2 = prev sel
+                for b in range(B):
+                    if not finished[b]:
+                        generated[b].append(int(toks[b]))
+                        if toks[b] == stop_token_id:
+                            finished[b] = True
+                if finished.all():
+                    break
+            top_ids = packed_np[0].astype(np.int64)
+            texts = [tokenizer.decode(generated[b] + [int(t)])
+                     for b in range(B) for t in top_ids[b]]
+            ids_np = dev.tokenize(texts)  # ONE compact upload per step
+            packed, plogits, new_kv, next_hidden, cache, context = fused(
+                gpt2_params, dev.variables, cache, new_kv, packed, plogits,
+                next_hidden, context, jnp.asarray(ids_np),
+                audio_dev, Lp + step, context_len,
+                alpha, beta, dev.temp,
+            )
+            context_len += 1
+        else:
+            # decoding_len exhausted: collect the final selection
+            packed_np = np.asarray(packed)
+            toks = packed_np[2, :, 0].astype(np.int64)
+            for b in range(B):
+                if not finished[b]:
+                    generated[b].append(int(toks[b]))
+        return generated
+
     for step in range(decoding_len):
         packed = np.asarray(packed)  # the step's single device->host fetch
-        top_ids = packed[0].astype(np.int64)
+        top_ids = packed[0].astype(np.int64)            # [B, k]
         base = packed[1]  # (1-alpha)*p - alpha*deg, computed on device
 
-        cand_ids = [generated + [int(t)] for t in top_ids]
-        clap_scores = score_fn(audio_embed, cand_ids)
+        cand_ids = [
+            [generated[b] + [int(t)] for t in top_ids[b]] for b in range(B)
+        ]
+        if score_batched is not None:
+            clap_scores = score_batched(audio_embeds, cand_ids)
+        else:
+            clap_scores = np.stack(
+                [score_fn(audio_embeds[b], cand_ids[b]) for b in range(B)]
+            )
 
-        scores = base + beta * np.asarray(clap_scores)
-        sel = int(np.argmax(scores))
-        tok = int(top_ids[sel])
-        generated.append(tok)
-        if tok == stop_token_id or step == decoding_len - 1:
+        scores = base + beta * np.asarray(clap_scores)  # [B, k]
+        sel = np.argmax(scores, axis=-1)                # [B]
+        for b in range(B):
+            if not finished[b]:
+                tok = int(top_ids[b, sel[b]])
+                generated[b].append(tok)
+                if tok == stop_token_id:
+                    finished[b] = True
+        if finished.all() or step == decoding_len - 1:
             break
 
-        # commit this step's selection AND probe the next step in one
-        # device program (see _commit_probe_step)
+        # commit this step's selections AND probe the next step in one
+        # device program (see _commit_probe_step); finished rows keep
+        # committing their argmax — their recorded tokens no longer change
         packed, plogits, new_kv, next_hidden, cache, context = _commit_probe_step(
-            gpt2_params, cfg, cache, new_kv, jnp.int32(sel), plogits,
-            next_hidden, context, Lp + step, beam_width, context_len, alpha,
-            quant,
+            gpt2_params, cfg, cache, new_kv, jnp.asarray(sel, jnp.int32),
+            plogits, next_hidden, context, Lp + step, beam_width,
+            context_len, alpha, quant,
         )
         context_len += 1
     return generated
+
+
+def magic_search(
+    gpt2_params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,       # [1, Lp, D]
+    audio_embed: np.ndarray,        # [E] CLAP audio embedding
+    score_fn,
+    beam_width: int = 25,
+    alpha: float = 0.1,
+    beta: float = 0.2,
+    decoding_len: int = 67,
+    stop_token_id: int = 13,
+    quant: bool = False,
+) -> List[int]:
+    """Single-clip MAGIC decode (the reference's ``magic_search`` shape) —
+    a B=1 call into ``magic_search_batched``."""
+    return magic_search_batched(
+        gpt2_params, cfg, prefix_embeds,
+        np.asarray(audio_embed).reshape(1, -1), score_fn, beam_width,
+        alpha, beta, decoding_len, stop_token_id, quant,
+    )[0]
 
 
 # ---------------------------------------------------------------------------

@@ -136,8 +136,8 @@ def main(argv=None):
     key2pred, key2prefix = {}, {}
     items = [ds[i] for i in range(len(ds))]
 
-    if args.magic:
-        # MAGIC is inherently per-clip (per-step candidate text re-encoding).
+    if args.magic and args.isbeam:
+        # Beam MAGIC stays per-clip (cross-beam selection couples the rows).
         from zs_aac_tpu.decoding.magic import generate_beam_magic
 
         for it in items:
@@ -148,10 +148,43 @@ def main(argv=None):
                 np.asarray(emb[0, -ccfg.prefix_length:]), wte, tokenizer)]
             cand, _ = generate_beam_magic(
                 gpt2_serving, ccfg.gpt2, emb, it["prefix"], magic_score_fn,
-                beam_size=3, magic_width=args.magic_width,
+                beam_size=args.beam_size, magic_width=args.magic_width,
                 alpha=args.alpha, beta=args.beta, stop_token_id=stop_id,
             )
             key2pred[it["audio_id"]] = [tokenizer.decode(cand[0]).lower()]
+    elif args.magic:
+        # Greedy MAGIC decodes a whole chunk of clips per probe loop: the
+        # per-step host fetch and CLAP text-tower batch amortize over the
+        # chunk (the per-clip loop was RTT-bound at 0.35 clips/s; see
+        # BASELINE.md). Chunks are grouped by hard-prompt length and padded
+        # to a fixed size so the probe programs compile once.
+        from collections import defaultdict
+
+        from zs_aac_tpu.decoding.magic import magic_search_batched
+
+        groups = defaultdict(list)
+        for it in items:
+            groups[len(it.get("hard_prompt", ()))].append(it)
+        CHUNK = min(args.batch, 64)
+        for h, group in groups.items():
+            for s in range(0, len(group), CHUNK):
+                chunk = group[s : s + CHUNK]
+                padded = chunk + [chunk[-1]] * (CHUNK - len(chunk))
+                prefix = jnp.asarray(np.stack([it["prefix"] for it in padded]))
+                hp = (jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
+                      if h else None)
+                emb = caption_embeddings(params, ccfg, prefix, hp)
+                audio = np.stack([np.asarray(it["prefix"]).reshape(-1)
+                                  for it in padded])
+                cands = magic_search_batched(
+                    gpt2_serving, ccfg.gpt2, emb, audio, magic_score_fn,
+                    beam_width=args.magic_width, alpha=args.alpha,
+                    beta=args.beta, stop_token_id=stop_id,
+                )
+                for b, it in enumerate(chunk):
+                    key2prefix[it["audio_id"]] = [get_prefix_tokens(
+                        np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
+                    key2pred[it["audio_id"]] = [tokenizer.decode(cands[b]).lower()]
     else:
         # Batched device decode, grouped by hard-prompt length, fixed-size
         # padded chunks (one compile per length; reference is bs=1 per clip).
