@@ -272,3 +272,49 @@ def test_fused_window_attention_matches_xla():
     out_fused = jax.jit(lambda v, s: fused.apply(v, s, train=False))(variables, spec)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_window_attention_grad_matches_xla():
+    """The fused kernel's custom_vjp must produce the XLA path's gradients
+    (VERDICT r2 #5): same loss, grads w.r.t. ALL params (incl. rpb_table
+    through build_window_bias) and the input spec, on shifted + unshifted
+    stages."""
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.models.htsat import HTSAT
+
+    kw = dict(spec_size=64, patch_stride=4, patch_size=4, embed_dim=32,
+              depths=(2, 2), num_heads=(2, 4), window_size=4, n_mels=16)
+    ref = HTSAT(**kw)
+    fused = HTSAT(fused_attn=True, **kw)
+
+    rng = np.random.default_rng(3)
+    spec = jnp.asarray(rng.standard_normal((2, 251, 16)).astype(np.float32))
+    variables = jax.jit(lambda r, s: ref.init({"params": r}, s, train=False))(
+        jax.random.key(1), spec
+    )
+    cot = jnp.asarray(rng.standard_normal((2, 768 // 24 * kw["embed_dim"]))
+                      .astype(np.float32))
+
+    def loss(model):
+        def f(params, s):
+            out = model.apply({"params": params,
+                               **{k: v for k, v in variables.items()
+                                  if k != "params"}}, s, train=False)
+            return jnp.sum(out * cot[:, : out.shape[-1]])
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1)))(
+        variables["params"], spec
+    )
+    g_fused = jax.jit(jax.grad(loss(fused), argnums=(0, 1)))(
+        variables["params"], spec
+    )
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree.leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), b in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )

@@ -91,10 +91,11 @@ class ASEConfig:
     text_model: str = "bert-base-uncased"
     spec_augmentation: bool = True
     audio_channels: Optional[tuple] = None  # override Cnn14 widths (tests)
-    # fused Pallas window attention in HTSAT (inference only — the kernel
-    # has no VJP; parity-tested against the XLA path; 1.38x on the full
-    # trunk at B=64 bf16 on v5e, chained-dep timing). True/False or a
-    # tuple of stage indices.
+    # fused Pallas window attention in HTSAT (1.38x on the full trunk at
+    # B=64 bf16 on v5e, chained-dep timing). Training-capable: the kernel
+    # carries a custom_vjp whose backward is the standard XLA attention
+    # grads (grad-parity-tested vs the XLA path). True/False or a tuple of
+    # stage indices.
     fused_attn: Any = False
     dtype: Any = jnp.float32
 

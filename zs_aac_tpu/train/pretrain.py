@@ -103,6 +103,14 @@ def build_ase_from_config(config: dict):
         encoder = "htsat"
     else:
         encoder = "cnn14" if enc_args.get("model", "Cnn14") == "Cnn14" else "resnet38"
+    # The fused Pallas window attention is training-capable (custom_vjp,
+    # grad-parity-tested) but measured a WASH for the train step on v5e:
+    # 375 samples/s fused vs 385 XLA at batch 8 — the flash-style backward
+    # recomputes the XLA-formulation forward for its residuals, cancelling
+    # the kernel's 1.38x forward win. Training therefore defaults to the
+    # XLA path; inference (pipeline/extract.py, eval/zero_shot.py) enables
+    # the kernel where it is a pure forward and the 1.38x is real.
+    fused = config.get("fused_attn", False)
     cfg = ASEConfig(
         embed_size=config.get("embed_size", 1024),
         temp=config.get("temp", 0.07),
@@ -113,6 +121,7 @@ def build_ase_from_config(config: dict):
         spec_augmentation=config.get("training", {}).get("spec_augmentation", True),
         audio_channels=tuple(config["audio_channels"]) if config.get("audio_channels")
         else None,
+        fused_attn=fused,
         dtype=jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
         else jnp.float32,
     )
