@@ -169,8 +169,13 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1)
         logp = jax.nn.log_softmax(logits / temperature).reshape(B, K, -1)
         V = logp.shape[-1]
+        # arithmetic blend, not jnp.where: XLA materializes the where's
+        # [B, K*V] pred broadcast as a separate 53us/step op in the decode
+        # loop (profiled); the mul-add fuses into the scores_sum pass. All
+        # operands are finite (_NEG_INF = -1e9, logp from log_softmax).
         stopped_row = jnp.full((V,), _NEG_INF, logp.dtype).at[0].set(0.0)
-        logp = jnp.where(is_stopped[..., None], stopped_row, logp)
+        m = is_stopped[..., None].astype(logp.dtype)     # [B, K, 1]
+        logp = logp * (1.0 - m) + stopped_row * m
         seq_lengths = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
 
         scores_sum = scores[..., None] + logp            # [B, K, V]

@@ -303,6 +303,19 @@ def init_beam_cache_q8(cfg: GPT2Config, prefill_cache_q8, beam_size: int):
     )
 
 
+def _beam_sel_bias(anc, K: int, T: int, index):
+    """Ancestry as an additive attention bias over the flattened (row,
+    time) axis: 0 where physical row ``r`` holds logical beam ``j``'s K/V
+    at time ``t`` (``anc[b, j, t] == r`` and ``t <= index``), else -1e9.
+    Built once per decode step and shared by every layer (broadcast over
+    heads). Returns [B, 1, K, K*T] fp32."""
+    B = anc.shape[0]
+    sel = anc[:, :, None, :] == jnp.arange(K, dtype=anc.dtype)[None, None, :, None]
+    valid = (jnp.arange(T) <= index)[None, None, None]
+    bias = jnp.where(sel & valid, 0.0, -1e9).astype(jnp.float32)  # [B,Kj,Kr,T]
+    return bias.reshape(B, 1, K, K * T)
+
+
 def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
     """``gpt2_step_beam`` over the int8 KV cache (+ per-vector scales):
     halves the dominant HBM stream of batched beam decode. Dequantization is
@@ -316,9 +329,7 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
     x = (x_embed + params["wpe"][index])[:, None]
 
     anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
-    onehot = jax.nn.one_hot(anc, K, dtype=x.dtype, axis=2)  # [B,Kj,Kr,T]
-    valid = (jnp.arange(T) <= index)[None, None, None]
-    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K*T], per step
 
     new_cache = []
     for i in range(cfg.n_layer):
@@ -338,13 +349,18 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
         sv = sv.at[:, :, :, index].set(vs_)
         new_cache.append((ck, cv, sk, sv))
 
-        s_all = jnp.einsum("bhjd,bhrtd->bhjrt", q, ck.astype(x.dtype))
-        s_all = s_all * sk[:, :, None].astype(x.dtype)      # fold k scales
-        att = jnp.einsum("bhjrt,bjrt->bhjt", s_all, onehot) / np.sqrt(d)
-        att = jax.nn.softmax(att.astype(jnp.float32) + bias, axis=-1).astype(x.dtype)
-        # fold v scales + ancestry selection into the probability tensor
-        p2 = att[:, :, :, None] * onehot[:, None] * sv[:, :, None].astype(x.dtype)
-        o = jnp.einsum("bhjrt,bhrtd->bhjd", p2, cv.astype(x.dtype))
+        # ancestry-bias attention (see gpt2_step_beam): the cache is READ in
+        # its stored 5-D layout (reshaping the DUS-updated buffer to
+        # [B,H,K*T,d] breaks XLA's in-place aliasing — 24 full-cache copies
+        # per step, profiled); only the tiny score tensor is flattened for
+        # the masked softmax. k/v dequant scales fold into scores/probs.
+        s = jnp.einsum("bhjd,bhrtd->bhjrt", q, ck.astype(x.dtype))
+        s = s * sk[:, :, None].astype(x.dtype) * float(1.0 / np.sqrt(d))
+        att = jax.nn.softmax(
+            s.reshape(B, H, K, K * T).astype(jnp.float32) + bias, axis=-1
+        ).astype(x.dtype).reshape(B, H, K, K, T)
+        att = att * sv[:, :, None].astype(x.dtype)
+        o = jnp.einsum("bhjrt,bhrtd->bhjd", att, cv.astype(x.dtype))
         o = o.transpose(0, 2, 1, 3).reshape(BK, 1, cfg.n_embd)
         o = _mm(o, blk["attn"]["c_proj"])
         x = x + o
@@ -550,6 +566,19 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     (k, v), each [B, H, K, T, d] (see ``init_beam_cache``). Returns
     (logits [B*K, V] fp32, cache, anc) with ``anc[:, :, index]`` set to the
     own-row identity, plus post-ln_f hidden [B*K, D] when ``return_hidden``.
+
+    Formulation (round 3): the indirection is an **additive bias over the
+    flattened (row, time) axis** — attention runs as a standard batched
+    (q=K) x (kv=K*T) softmax-attention where position (r, t) is masked to
+    -1e9 unless ``anc[b, j, t] == r``. The round-2 one-hot contraction
+    (``bhjrt``-shaped score/probability intermediates re-materialized per
+    layer) was layout-bound and held batched beam at ~1/3 of its roofline;
+    here the ancestry bias is built ONCE per step ([B, K, K*T] fp32,
+    shared by all layers and broadcast over heads) and each layer runs two
+    clean batched matmuls with a masked softmax between — the exact shape
+    XLA's attention fusions are built for. Exactness: adding -1e9 before
+    the max-subtracted softmax zeroes non-selected lanes exactly, so the
+    selected-lane probabilities equal the round-2 formulation's.
     """
     BK, D = x_embed.shape
     B, K = anc.shape[0], anc.shape[1]
@@ -559,10 +588,7 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     x = (x_embed + params["wpe"][index])[:, None]  # [B*K, 1, D]
 
     anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
-    # one-hot over the physical-row axis: [B, K(logical), K(row), T]
-    onehot = jax.nn.one_hot(anc, K, dtype=x.dtype, axis=2)
-    valid = (jnp.arange(T) <= index)[None, None, None]  # [1,1,1,T]
-    bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K*T], per step
 
     new_cache = []
     for i in range(cfg.n_layer):
@@ -578,13 +604,18 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
         ck = ck.at[:, :, :, index].set(k.astype(ck.dtype))
         cv = cv.at[:, :, :, index].set(v.astype(cv.dtype))
         new_cache.append((ck, cv))
-        kc = ck.astype(x.dtype)  # [B, H, K, T, d], stored layout
-        vc = cv.astype(x.dtype)
-        # scores vs every physical row, then select the ancestor's row
-        s_all = jnp.einsum("bhjd,bhrtd->bhjrt", q, kc)
-        att = jnp.einsum("bhjrt,bjrt->bhjt", s_all, onehot) / np.sqrt(d)
-        att = jax.nn.softmax(att.astype(jnp.float32) + bias, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhjt,bjrt,bhrtd->bhjd", att, onehot, vc)
+        # READ the cache in its stored 5-D layout — a [B,H,K*T,d] reshape of
+        # the DUS-updated buffer defeats XLA's in-place aliasing and forces
+        # a full-cache copy per layer per step (profiled: 24 x ~76us/step).
+        # Only the tiny score tensor is flattened for the masked softmax.
+        # weak Python float: a numpy scalar is dtype-strong and would
+        # upcast bf16 (round-2 gelu lesson)
+        s = jnp.einsum("bhjd,bhrtd->bhjrt", q * float(1.0 / np.sqrt(d)),
+                       ck.astype(x.dtype))
+        att = jax.nn.softmax(
+            s.reshape(B, H, K, K * T).astype(jnp.float32) + bias, axis=-1
+        ).astype(x.dtype).reshape(B, H, K, K, T)
+        o = jnp.einsum("bhjrt,bhrtd->bhjd", att, cv.astype(x.dtype))
         # [B, H, K, d] -> [B*K, 1, D]
         o = o.transpose(0, 2, 1, 3).reshape(BK, 1, cfg.n_embd)
         o = _mm(o, blk["attn"]["c_proj"])
