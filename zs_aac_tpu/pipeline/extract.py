@@ -124,41 +124,59 @@ def extract_audio_text_bank(
     sr = audio_args["sr"]
     n = audio_args.get("max_length", 10) * sr
 
-    out: List[dict] = []
-    for s in range(0, len(audios), batch_size):
-        chunk = [a for a in audios[s : s + batch_size] if os.path.exists(id2file[a["audio_id"]])]
-        if not chunk:
-            continue
-        waves = np.stack(
-            [pad_or_truncate(load_audio(id2file[a["audio_id"]], sr), n) for a in chunk]
+    def load_chunk(chunk):
+        return np.stack(
+            [pad_or_truncate(load_audio(id2file[a["audio_id"]], sr), n)
+             for a in chunk]
         )
-        audio_embs = encode_audio(waves)
-        if with_text:
-            caps, owners = [], []
-            for i, a in enumerate(chunk):
-                for c in a["captions"]:
-                    caps.append(c["caption"])
-                    owners.append(i)
-            text_embs = _batched_texts(encode_text, caps, batch_size)
-            for cap, owner, temb in zip(caps, owners, text_embs):
-                out.append(
-                    {
-                        "audio_embedding": audio_embs[owner : owner + 1],
-                        "caption": cap,
-                        "text_embedding": temb[None],
-                        "audio_id": chunk[owner]["audio_id"],
-                    }
-                )
-        else:
-            for i, a in enumerate(chunk):
-                out.append(
-                    {
-                        "audio_embedding": audio_embs[i : i + 1],
-                        "caption": a["captions"],
-                        "text_embedding": 0,
-                        "audio_id": a["audio_id"],
-                    }
-                )
+
+    chunks = []
+    for s in range(0, len(audios), batch_size):
+        chunk = [a for a in audios[s : s + batch_size]
+                 if os.path.exists(id2file[a["audio_id"]])]
+        if chunk:
+            chunks.append(chunk)
+
+    # One-batch-ahead prefetch: the host decodes/resamples batch i+1 (native
+    # WAV decoder + Kaiser-sinc resampler, GIL-free through ctypes) while
+    # the device encodes batch i — the reference decodes synchronously
+    # between device batches (embeddings_generator.py:34-103, bs=1).
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: List[dict] = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = ex.submit(load_chunk, chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            waves = pending.result()
+            pending = (ex.submit(load_chunk, chunks[ci + 1])
+                       if ci + 1 < len(chunks) else None)
+            audio_embs = encode_audio(waves)
+            if with_text:
+                caps, owners = [], []
+                for i, a in enumerate(chunk):
+                    for c in a["captions"]:
+                        caps.append(c["caption"])
+                        owners.append(i)
+                text_embs = _batched_texts(encode_text, caps, batch_size)
+                for cap, owner, temb in zip(caps, owners, text_embs):
+                    out.append(
+                        {
+                            "audio_embedding": audio_embs[owner : owner + 1],
+                            "caption": cap,
+                            "text_embedding": temb[None],
+                            "audio_id": chunk[owner]["audio_id"],
+                        }
+                    )
+            else:
+                for i, a in enumerate(chunk):
+                    out.append(
+                        {
+                            "audio_embedding": audio_embs[i : i + 1],
+                            "caption": a["captions"],
+                            "text_embedding": 0,
+                            "audio_id": a["audio_id"],
+                        }
+                    )
     return out
 
 
