@@ -120,7 +120,7 @@ def beam_search_batched_q8(
 
 
 def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
-                       stop_token_id, temperature, quant):
+                       stop_token_id, temperature, quant, segments="auto"):
     from zs_aac_tpu.models.gpt2 import (
         gpt2_prefill_q8,
         gpt2_step_beam_q8,
@@ -128,9 +128,16 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         init_kv_cache_q8,
     )
 
+    from zs_aac_tpu.decoding.greedy import _grow_cache, _segment_bounds
+
     B, Lp, D = prefix_embeds.shape
     K = beam_size
-    T = Lp + entry_length
+    # staged cache (see decoding/greedy.py module docstring): start with
+    # capacity for the first segment only and grow between segments —
+    # beam's attention reads ALL K*T lanes per step, so masked-lane waste
+    # costs K x what it does in greedy
+    bounds = _segment_bounds(entry_length, segments)
+    T = Lp + bounds[0]
 
     if quant:
         cache1 = init_kv_cache_q8(cfg, B, T)
@@ -158,10 +165,6 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
     seq_lengths = jnp.ones((B, K), jnp.float32)
     is_stopped = first == stop_token_id
     cur = first.astype(jnp.int32)                        # [B, K]
-
-    def cond(state):
-        i, _, _, _, _, _, stopped, _ = state
-        return (i < entry_length) & ~jnp.all(stopped)
 
     def body(state):
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
@@ -195,5 +198,18 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         return i + 1, tokens, cache, anc, scores, seq_lengths, is_stopped, nxt
 
     state = (jnp.int32(1), tokens, cache, anc, scores, seq_lengths, is_stopped, cur)
-    _, tokens, _, _, scores, seq_lengths, _, _ = jax.lax.while_loop(cond, body, state)
+    for end in bounds:
+        i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
+        need = Lp + end
+        if anc.shape[2] < need:
+            cache = _grow_cache(cache, need)
+            anc = jnp.pad(anc, ((0, 0), (0, 0), (0, need - anc.shape[2])))
+        state = (i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur)
+
+        def cond(state, _end=end):
+            i, _, _, _, _, _, stopped, _ = state
+            return (i < _end) & ~jnp.all(stopped)
+
+        state = jax.lax.while_loop(cond, body, state)
+    _, tokens, _, _, scores, seq_lengths, _, _ = state
     return tokens, seq_lengths.astype(jnp.int32), scores / seq_lengths

@@ -11,6 +11,17 @@ greedy argmax, which is output-identical. The extra hardcoded stop id 764
 Unlike the reference (full-sequence recompute per step, batch size 1), this
 is a batched ``lax.while_loop`` over a preallocated KV cache: one prefill +
 ``entry_length`` single-token steps, all on device.
+
+Staged cache (round 3): a fixed-capacity cache makes EVERY step read the
+full ``Lp + entry_length`` lanes even though step ``i`` only has ``Lp + i``
+valid positions — cache reads are the dominant HBM stream of the decode
+step, so ~30% of those bytes are masked-lane waste. The decode therefore
+runs as a few consecutive ``while_loop`` segments over progressively
+larger cache buffers (grown by ``jnp.pad`` between segments, two O(cache)
+copies total). Masked lanes are exact zeros under the -1e9 softmax bias,
+so emitted tokens are bit-identical to the single-loop formulation (the
+oracle tests in tests/test_decoding.py cover the segmented defaults), and
+early-stopped batches exit before ever touching the large buffers.
 """
 
 from __future__ import annotations
@@ -26,7 +37,59 @@ from zs_aac_tpu.models.gpt2 import GPT2Config, gpt2_embed, gpt2_prefill, gpt2_st
 __all__ = ["greedy_decode", "greedy_decode_q8", "mistral_greedy_decode"]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
+def _segment_bounds(entry_length: int, segments) -> tuple:
+    """Static segment end-points for the staged decode. ``"auto"`` splits
+    the decode in three (measured sweet spot: fewer segments waste masked
+    lanes, more pay extra cache-grow copies and compile time); ``None``/
+    ``()`` disables staging; an explicit tuple gives interior boundaries."""
+    if segments == "auto":
+        b = (entry_length // 3, (2 * entry_length) // 3) if entry_length >= 24 else ()
+    elif not segments:
+        b = ()
+    else:
+        b = tuple(s for s in segments if 0 < s < entry_length)
+    return tuple(sorted(set(b))) + (entry_length,)
+
+
+def _grow_cache(cache, new_len: int):
+    """Pad every cache leaf's position axis (axis 3 in all cache layouts:
+    [L, B, H, T, d] k/v and [L, B, H, T] scales) out to ``new_len`` with
+    zeros — exact, because positions beyond the write index are masked to
+    -1e9 before the softmax and zero lanes contribute exactly 0."""
+
+    def pad(x):
+        p = [(0, 0)] * x.ndim
+        p[3] = (0, new_len - x.shape[3])
+        return jnp.pad(x, p)
+
+    return jax.tree.map(pad, cache)
+
+
+def _staged_decode(body, init_state, entry_length: int, prompt_len: int, segments):
+    """Run ``body`` as consecutive while_loops over a growing KV cache.
+
+    ``init_state`` is ``(i, tokens, cache, finished, cur, lengths)`` with the
+    cache sized for the FIRST segment; between segments the cache is grown
+    with one pad copy. Emitted tokens are bit-identical to a single loop
+    over the full-size cache."""
+
+    state = init_state
+    for end in _segment_bounds(entry_length, segments):
+        i, tokens, cache, finished, cur, lengths = state
+        need = prompt_len + end
+        if cache and jax.tree.leaves(cache)[0].shape[3] < need:
+            cache = _grow_cache(cache, need)
+        state = (i, tokens, cache, finished, cur, lengths)
+
+        def cond(state, _end=end):
+            i, _, _, finished, _, _ = state
+            return (i < _end) & ~jnp.all(finished)
+
+        state = jax.lax.while_loop(cond, body, state)
+    return state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
 def greedy_decode(
     params: dict,
     cfg: GPT2Config,
@@ -34,6 +97,7 @@ def greedy_decode(
     entry_length: int = 67,
     stop_token_id: int = 13,      # GPT-2 '.'
     extra_stop_id: int = 764,     # reference's hardcoded ' .'-ish id
+    segments="auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, entry_length] int32, lengths [B] int32).
 
@@ -41,7 +105,8 @@ def greedy_decode(
     after the stop token is 0.
     """
     B, Lp, _ = prefix_embeds.shape
-    cache = init_kv_cache(cfg, B, Lp + entry_length, prefix_embeds.dtype)
+    bounds = _segment_bounds(entry_length, segments)
+    cache = init_kv_cache(cfg, B, Lp + bounds[0], prefix_embeds.dtype)
     logits, cache = gpt2_prefill(params, cfg, prefix_embeds, cache)
     cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
@@ -49,10 +114,6 @@ def greedy_decode(
     finished0 = jnp.zeros((B,), bool)
 
     lengths0 = jnp.zeros((B,), jnp.int32)
-
-    def cond(state):
-        i, _, _, finished, _, _ = state
-        return (i < entry_length) & ~jnp.all(finished)
 
     def body(state):
         i, tokens, cache, finished, cur, lengths = state
@@ -63,13 +124,14 @@ def greedy_decode(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return i + 1, tokens, cache, now_stopped, nxt, lengths
 
-    _, tokens, _, _, _, lengths = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)
+    _, tokens, _, _, _, lengths = _staged_decode(
+        body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0),
+        entry_length, Lp, segments,
     )
     return tokens, lengths
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
 def mistral_greedy_decode(
     params: dict,
     cfg,                           # MistralConfig
@@ -77,6 +139,7 @@ def mistral_greedy_decode(
     lora: dict | None = None,
     max_new_tokens: int = 60,
     eos_token_id: int = 2,
+    segments="auto",
 ):
     """Batched greedy decode for the Mistral captioner — the reference's
     ``model.LMmodel.generate(do_sample=False, max_length=60, eos_token_id=2)``
@@ -93,17 +156,14 @@ def mistral_greedy_decode(
     )
 
     B, Lp, _ = prefix_embeds.shape
-    cache = init_mistral_cache(cfg, B, Lp + max_new_tokens, prefix_embeds.dtype)
+    bounds = _segment_bounds(max_new_tokens, segments)
+    cache = init_mistral_cache(cfg, B, Lp + bounds[0], prefix_embeds.dtype)
     logits, cache = mistral_prefill(params, cfg, prefix_embeds, cache, lora=lora)
     cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
     finished0 = cur == eos_token_id
     lengths0 = jnp.zeros((B,), jnp.int32)
-
-    def cond(state):
-        i, _, _, finished, _, _ = state
-        return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(state):
         i, tokens, cache, finished, cur, lengths = state
@@ -116,13 +176,14 @@ def mistral_greedy_decode(
         finished = finished | (nxt == eos_token_id)
         return i + 1, tokens, cache, finished, nxt, lengths
 
-    _, tokens, _, _, _, lengths = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)
+    _, tokens, _, _, _, lengths = _staged_decode(
+        body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0),
+        max_new_tokens, Lp, segments,
     )
     return tokens, lengths
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
 def greedy_decode_q8(
     params: dict,
     cfg: GPT2Config,
@@ -130,6 +191,7 @@ def greedy_decode_q8(
     entry_length: int = 67,
     stop_token_id: int = 13,
     extra_stop_id: int = 764,
+    segments="auto",
 ):
     """Greedy decode over the int8-quantized KV cache (serving fast path;
     token agreement vs the bf16 path is validated in tests).
@@ -146,17 +208,14 @@ def greedy_decode_q8(
     from zs_aac_tpu.models.gpt2 import gpt2_prefill_q8, gpt2_step_q8, init_kv_cache_q8
 
     B, Lp, _ = prefix_embeds.shape
-    cache = init_kv_cache_q8(cfg, B, Lp + entry_length)
+    bounds = _segment_bounds(entry_length, segments)
+    cache = init_kv_cache_q8(cfg, B, Lp + bounds[0])
     logits, cache = gpt2_prefill_q8(params, cfg, prefix_embeds, cache)
     cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     tokens0 = jnp.zeros((B, entry_length), jnp.int32)
     finished0 = jnp.zeros((B,), bool)
     lengths0 = jnp.zeros((B,), jnp.int32)
-
-    def cond(state):
-        i, _, _, finished, _, _ = state
-        return (i < entry_length) & ~jnp.all(finished)
 
     def body(state):
         i, tokens, cache, finished, cur, lengths = state
@@ -167,7 +226,8 @@ def greedy_decode_q8(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return i + 1, tokens, cache, now_stopped, nxt, lengths
 
-    _, tokens, _, _, _, lengths = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0)
+    _, tokens, _, _, _, lengths = _staged_decode(
+        body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0),
+        entry_length, Lp, segments,
     )
     return tokens, lengths
