@@ -171,3 +171,42 @@ def test_gpt2_tp_sharded_decode_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_tp))
     np.testing.assert_array_equal(np.asarray(bt_ref), np.asarray(bt_tp))
     np.testing.assert_array_equal(np.asarray(bl_ref), np.asarray(bl_tp))
+
+
+def test_two_stage_beam_select_matches_direct():
+    """The grouped two-stage top-k in ``_beam_select`` (taken for real
+    vocab sizes) must reproduce the direct materialized-average selection
+    exactly — same winners, same scores — including stopped rows (forced
+    token 0) and the temperature scaling."""
+    from zs_aac_tpu.decoding.beam import _beam_select, _group_size
+
+    B, K, V = 3, 3, 50257
+    assert _group_size(V) == 512  # 50257 = 29 x 1733: ragged last group
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((B * K, V)).astype(np.float32) * 4)
+    scores = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
+    seq_lengths = jnp.asarray(rng.integers(1, 9, (B, K)).astype(np.float32))
+    is_stopped = jnp.asarray([[False, True, False],
+                              [False, False, False],
+                              [True, True, False]])
+
+    for temp in (1.0, 0.7):
+        top, src, nxt, new_len = _beam_select(
+            logits, scores, seq_lengths, is_stopped, temp, B, K)
+
+        # direct reference (the small-vocab branch's semantics, in numpy)
+        logp = np.array(
+            jax.nn.log_softmax(logits.astype(jnp.float32) / temp, axis=-1)
+        ).reshape(B, K, V)
+        stopped = np.asarray(is_stopped)
+        logp[stopped] = -1e9
+        logp[stopped, 0] = 0.0
+        nl = np.where(stopped, np.asarray(seq_lengths),
+                      np.asarray(seq_lengths) + 1)
+        avg = (np.asarray(scores)[..., None] + logp) / nl[..., None]
+        flat = np.argsort(-avg.reshape(B, -1), kind="stable")[:, :K]
+        np.testing.assert_array_equal(np.asarray(src), flat // V)
+        np.testing.assert_array_equal(np.asarray(nxt), flat % V)
+        want = np.take_along_axis(avg.reshape(B, -1), flat, axis=1)
+        np.testing.assert_allclose(np.asarray(top), want, rtol=2e-5, atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(new_len), nl)

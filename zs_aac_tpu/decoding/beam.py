@@ -14,6 +14,9 @@ reordering does NOT copy the cache: physical cache rows are append-only and
 a tiny per-beam ancestry table is gathered instead (``gpt2_step_beam``) —
 the per-step cost is O(K) extra FLOPs rather than O(cache) HBM traffic,
 which is what held the round-1 implementation to ~1/10th of its roofline.
+Candidate selection over the ``[B, K*V]`` score matrix runs as a two-stage
+exact top-k (``_beam_select``) touching the vocab-sized logits in two fused
+reduction passes instead of six materialized ones.
 """
 
 from __future__ import annotations
@@ -55,6 +58,119 @@ def _topk_argmax(x: jax.Array, k: int):
             jax.nn.one_hot(i, x.shape[-1], dtype=bool), -jnp.inf, x
         )
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
+
+
+def _group_size(V: int):
+    """Group width for the two-stage top-k: the largest divisor of V in
+    [64, 512] when one exists (uniform groups), else 512 with a ragged
+    final group (GPT-2's 50257 = 29 x 1733 has no divisor in range)."""
+    for S in range(512, 63, -1):
+        if V % S == 0:
+            return S
+    return 512
+
+
+def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K):
+    """Pick the K best (source beam, token) continuations per clip.
+
+    Reference semantics (``gpt2_prefix_eval.py:117-150``): candidates are
+    ranked by ``(scores + log_softmax(logits / temp)) / new_len`` where
+    stopped beams contribute a forced 0-logprob token 0 and ``new_len`` is
+    the per-beam length after appending (unchanged for stopped beams).
+
+    Returns (top_avg [B, K] fp32 length-normalized winning scores,
+    src [B, K] source-beam index, nxt [B, K] token id, new_len [B, K]
+    pre-gather sequence lengths).
+
+    For real vocabularies this runs as a TWO-STAGE exact top-k so the
+    [B*K, V] fp32 logits are touched by only two fused reduction passes
+    (group-max and logsumexp) instead of materializing log_softmax /
+    score-sum / average tensors (six vocab-sized passes, ~530 us/step at
+    B=64 on v5e, round-2 profile). The ranking transform is affine per row
+    (``avg = A*logit + B`` with ``A >= 0`` plus a token-0 bonus ``C`` for
+    stopped rows), so per-group maxima of the raw logits order candidate
+    groups exactly; the top-K elements of a [rows x groups] matrix always
+    lie within the K distinct groups with the largest maxima (any group
+    holding a top-K element has max >= that element). Gathering those K
+    groups (K*S lanes) and re-ranking exactly reproduces the brute-force
+    selection, up to fp tie-order on bitwise-equal scores.
+    """
+    V = logits.shape[-1]
+    lg = logits.reshape(B, K, V)
+    new_len = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
+    if V <= 4096:
+        # direct path (tiny/test vocabs): materialize the average-score
+        # tensor as the reference does
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32) / temperature, axis=-1)
+        # arithmetic blend, not jnp.where: XLA materializes the where's
+        # [B, K*V] pred broadcast as a separate op in the decode loop
+        stopped_row = jnp.full((V,), _NEG_INF, jnp.float32).at[0].set(0.0)
+        m = is_stopped[..., None].astype(jnp.float32)
+        logp = logp * (1.0 - m) + stopped_row * m
+        avg = (scores[..., None] + logp) / new_len[..., None]
+        top_avg, flat = _topk_argmax(avg.reshape(B, -1), K)
+        src = flat // V
+        nxt = (flat % V).astype(jnp.int32)
+        return top_avg, src, nxt, new_len
+
+    S = _group_size(V)
+    G = -(-V // S)                                            # ragged last group
+    lgf = lg.astype(jnp.float32)
+    inv_t = 1.0 / temperature
+    # pass 1: per-group maxima (also yields the row max for free). The pad
+    # costs one vocab-sized copy, but keeps the group reshape a layout
+    # bitcast (S is a lane multiple) and the reduce one clean minor-axis
+    # pass. Pad value is FINITE (-1e30, not -inf): padded lanes flow
+    # through the stage-2 affine rescale below, where a stopped row's
+    # A == 0 would turn 0 * -inf into NaN and poison the top-k. -1e30
+    # keeps every pad lane strictly below any real candidate in both
+    # stages.
+    pad = G * S - V
+    groups = jnp.pad(lgf, ((0, 0), (0, 0), (0, pad)),
+                     constant_values=-1e30).reshape(B, K, G, S)
+    gmax = jnp.max(groups, axis=-1)                           # [B, K, G]
+    rowmax = jnp.max(gmax, axis=-1)                           # [B, K]
+    # pass 2: stabilized logsumexp of logits / temp
+    se = jnp.sum(jnp.exp((lgf - rowmax[..., None]) * inv_t), axis=-1)
+    lse = rowmax * inv_t + jnp.log(se)
+    # per-row affine ranking scalars: avg = A*logit + Bc, except that a
+    # stopped row's token 0 is the EXACT value scores/new_len (an override,
+    # NOT an additive bonus over Bc — (scores - 1e9)/len + 1e9/len loses
+    # the score entirely to fp32 cancellation, ulp(1e9) ~ 64)
+    A = jnp.where(is_stopped, 0.0, inv_t / new_len)
+    Bc = jnp.where(is_stopped, (scores + _NEG_INF) / new_len,
+                   (scores - lse) / new_len)
+    tok0 = jnp.where(is_stopped, scores / new_len,
+                     A * lgf[..., 0] + Bc)                    # [B, K]
+    gavg = A[..., None] * gmax + Bc[..., None]                # [B, K, G]
+    gavg = gavg.at[..., 0].max(tok0)
+    _, gflat = _topk_argmax(gavg.reshape(B, K * G), K)        # distinct groups
+    ksrc = gflat // G
+    gsel = gflat % G
+    # gather the K winning groups as whole S-wide lanes with ONE
+    # take_along_axis over the padded [B, K*G, S] view. Two rejected
+    # alternatives, both measured on v5e: a scalar element gather over
+    # [B, K*V] (~1 ms/step), and a vmapped dynamic_slice over (row, start)
+    # pairs — lowered to a B*K-iteration while loop whose per-op transport
+    # bookkeeping on the axon tunnel cost ~100x the device time. The padded
+    # view makes every group uniform, so there is no ragged-tail shift or
+    # overlap masking; pad lanes carry -1e30 and can never enter the top-k
+    # (each selected group contributes at least one real lane >= its max).
+    vals_raw = jnp.take_along_axis(
+        groups.reshape(B, K * G, S), gflat[..., None], axis=1
+    )                                                         # [B, K, S]
+    off = gsel[..., None] * S + jnp.arange(S)                 # within-row pos
+    Ag = jnp.take_along_axis(A, ksrc, axis=1)
+    Bg = jnp.take_along_axis(Bc, ksrc, axis=1)
+    t0g = jnp.take_along_axis(tok0, ksrc, axis=1)
+    vals = Ag[..., None] * vals_raw + Bg[..., None]
+    vals = jnp.where(off == 0, t0g[..., None], vals)
+    top_avg, pos = _topk_argmax(vals.reshape(B, K * S), K)
+    flat = jnp.take_along_axis(
+        (ksrc[..., None] * V + off).reshape(B, K * S), pos, axis=1)
+    src = flat // V
+    nxt = (flat % V).astype(jnp.int32)
+    return top_avg, src.astype(jnp.int32), nxt, new_len
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
@@ -170,26 +286,12 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
         logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1)
-        logp = jax.nn.log_softmax(logits / temperature).reshape(B, K, -1)
-        V = logp.shape[-1]
-        # arithmetic blend, not jnp.where: XLA materializes the where's
-        # [B, K*V] pred broadcast as a separate 53us/step op in the decode
-        # loop (profiled); the mul-add fuses into the scores_sum pass. All
-        # operands are finite (_NEG_INF = -1e9, logp from log_softmax).
-        stopped_row = jnp.full((V,), _NEG_INF, logp.dtype).at[0].set(0.0)
-        m = is_stopped[..., None].astype(logp.dtype)     # [B, K, 1]
-        logp = logp * (1.0 - m) + stopped_row * m
-        seq_lengths = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
-
-        scores_sum = scores[..., None] + logp            # [B, K, V]
-        avg = scores_sum / seq_lengths[..., None]
-        top_avg, flat = _topk_argmax(avg.reshape(B, -1), K)
-        src = flat // V                                  # [B, K] beam source
-        nxt = (flat % V).astype(jnp.int32)
+        top_avg, src, nxt, new_len = _beam_select(
+            logits, scores, seq_lengths, is_stopped, temperature, B, K)
 
         tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
         tokens = tokens.at[:, :, i].set(nxt)
-        seq_lengths = jnp.take_along_axis(seq_lengths, src, axis=1)
+        seq_lengths = jnp.take_along_axis(new_len, src, axis=1)
         is_stopped = jnp.take_along_axis(is_stopped, src, axis=1)
         # reorder the ancestry table (tiny) instead of the cache (huge)
         anc = jnp.take_along_axis(anc, src[..., None].astype(anc.dtype), axis=1)
