@@ -210,3 +210,15 @@ def test_two_stage_beam_select_matches_direct():
         want = np.take_along_axis(avg.reshape(B, -1), flat, axis=1)
         np.testing.assert_allclose(np.asarray(top), want, rtol=2e-5, atol=2e-6)
         np.testing.assert_array_equal(np.asarray(new_len), nl)
+
+        # pre-padded lm_head path (pad lanes zero, real_vocab passed):
+        # identical winners; scores match to reduction-order ULPs (the
+        # logsumexp reduces over 50688 lanes instead of 50257)
+        lp = jnp.pad(logits.reshape(B * K, V), ((0, 0), (0, 50688 - V)))
+        top2, src2, nxt2, len2 = _beam_select(
+            lp, scores, seq_lengths, is_stopped, temp, B, K, real_vocab=V)
+        np.testing.assert_allclose(np.asarray(top), np.asarray(top2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(src), np.asarray(src2))
+        np.testing.assert_array_equal(np.asarray(nxt), np.asarray(nxt2))
+        np.testing.assert_array_equal(np.asarray(new_len), np.asarray(len2))

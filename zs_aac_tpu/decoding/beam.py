@@ -70,7 +70,8 @@ def _group_size(V: int):
     return 512
 
 
-def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K):
+def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
+                 real_vocab=None):
     """Pick the K best (source beam, token) continuations per clip.
 
     Reference semantics (``gpt2_prefix_eval.py:117-150``): candidates are
@@ -94,9 +95,15 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K):
     holding a top-K element has max >= that element). Gathering those K
     groups (K*S lanes) and re-ranking exactly reproduces the brute-force
     selection, up to fp tie-order on bitwise-equal scores.
+
+    ``real_vocab``: when the caller's lm_head already emitted
+    ``G*S - real_vocab`` zero-padded lanes (``_logits_padded``), the group
+    reshape is free and the pad lanes are masked to -1e30 inside the two
+    reduction fusions — no materialized pad copy.
     """
-    V = logits.shape[-1]
-    lg = logits.reshape(B, K, V)
+    Vp = logits.shape[-1]
+    V = Vp if real_vocab is None else real_vocab
+    lg = logits.reshape(B, K, Vp)
     new_len = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
     if V <= 4096:
         # direct path (tiny/test vocabs): materialize the average-score
@@ -117,20 +124,26 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K):
     G = -(-V // S)                                            # ragged last group
     lgf = lg.astype(jnp.float32)
     inv_t = 1.0 / temperature
-    # pass 1: per-group maxima (also yields the row max for free). The pad
-    # costs one vocab-sized copy, but keeps the group reshape a layout
-    # bitcast (S is a lane multiple) and the reduce one clean minor-axis
-    # pass. Pad value is FINITE (-1e30, not -inf): padded lanes flow
-    # through the stage-2 affine rescale below, where a stopped row's
-    # A == 0 would turn 0 * -inf into NaN and poison the top-k. -1e30
-    # keeps every pad lane strictly below any real candidate in both
-    # stages.
-    pad = G * S - V
-    groups = jnp.pad(lgf, ((0, 0), (0, 0), (0, pad)),
-                     constant_values=-1e30).reshape(B, K, G, S)
+    # pass 1: per-group maxima (also yields the row max for free). Pad value
+    # is FINITE (-1e30, not -inf): padded lanes flow through the stage-2
+    # affine rescale below, where a stopped row's A == 0 would turn
+    # 0 * -inf into NaN and poison the top-k. -1e30 keeps every pad lane
+    # strictly below any real candidate in both stages, and makes its
+    # exp() term exactly 0 in the logsumexp pass. When the caller
+    # pre-padded the lm_head (real_vocab set), the mask is an iota compare
+    # fused into both reduction passes; otherwise an explicit pad
+    # materializes one vocab-sized copy.
+    if Vp == G * S:
+        lgf = jnp.where(jnp.arange(Vp) >= V, -1e30, lgf) if Vp > V else lgf
+        groups = lgf.reshape(B, K, G, S)
+    else:
+        assert Vp == V, "pre-padded logits must pad V to G*S exactly"
+        groups = jnp.pad(lgf, ((0, 0), (0, 0), (0, G * S - V)),
+                         constant_values=-1e30).reshape(B, K, G, S)
     gmax = jnp.max(groups, axis=-1)                           # [B, K, G]
     rowmax = jnp.max(gmax, axis=-1)                           # [B, K]
-    # pass 2: stabilized logsumexp of logits / temp
+    # pass 2: stabilized logsumexp of logits / temp (pad lanes contribute
+    # exp((-1e30 - rowmax) * inv_t) == 0 exactly)
     se = jnp.sum(jnp.exp((lgf - rowmax[..., None]) * inv_t), axis=-1)
     lse = rowmax * inv_t + jnp.log(se)
     # per-row affine ranking scalars: avg = A*logit + Bc, except that a
@@ -147,17 +160,21 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K):
     _, gflat = _topk_argmax(gavg.reshape(B, K * G), K)        # distinct groups
     ksrc = gflat // G
     gsel = gflat % G
-    # gather the K winning groups as whole S-wide lanes with ONE
-    # take_along_axis over the padded [B, K*G, S] view. Two rejected
-    # alternatives, both measured on v5e: a scalar element gather over
-    # [B, K*V] (~1 ms/step), and a vmapped dynamic_slice over (row, start)
-    # pairs — lowered to a B*K-iteration while loop whose per-op transport
-    # bookkeeping on the axon tunnel cost ~100x the device time. The padded
-    # view makes every group uniform, so there is no ragged-tail shift or
-    # overlap masking; pad lanes carry -1e30 and can never enter the top-k
-    # (each selected group contributes at least one real lane >= its max).
-    vals_raw = jnp.take_along_axis(
-        groups.reshape(B, K * G, S), gflat[..., None], axis=1
+    # gather the K winning groups as whole S-wide lanes with ONE one-hot
+    # contraction over the [B, K*G, S] view — a batched matmul XLA streams
+    # in the logits' native layout (exact: each output lane sums one
+    # 1.0 x value product plus true zeros). Three rejected alternatives,
+    # all measured on v5e: take_along_axis (two 39 MB layout copies around
+    # the gather, profiled round 3), a scalar element gather over [B, K*V]
+    # (~1 ms/step), and a vmapped dynamic_slice over (row, start) pairs —
+    # lowered to a B*K-iteration while loop whose per-op transport
+    # bookkeeping on the axon tunnel cost ~100x the device time. Pad lanes
+    # carry -1e30 and can never enter the top-k (each selected group
+    # contributes at least one real lane >= its max).
+    sel1h = jax.nn.one_hot(gflat, K * G, dtype=jnp.float32)   # [B, K, K*G]
+    vals_raw = jax.lax.dot_general(
+        sel1h, groups.reshape(B, K * G, S),
+        (((2,), (1,)), ((0,), (0,))),
     )                                                         # [B, K, S]
     off = gsel[..., None] * S + jnp.arange(S)                 # within-row pos
     Ag = jnp.take_along_axis(A, ksrc, axis=1)
@@ -171,6 +188,26 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K):
     src = flat // V
     nxt = (flat % V).astype(jnp.int32)
     return top_avg, src.astype(jnp.int32), nxt, new_len
+
+
+def _grow_beam_cache(cache, new_len: int):
+    """Pad every beam-cache leaf's position axis out to ``new_len`` with
+    zeros (staged decode, see ``decoding/greedy.py``). Beam leaves are
+    per-layer tuples ``(k, v[, k_scale, v_scale])`` with K/V in the
+    head-folded [B, K, T, C] layout (T at axis 2) and scales [B, H, K, T]
+    (T at axis 3). Zero lanes are exact no-ops under the -1e9 ancestry
+    bias."""
+
+    def pad(x, axis):
+        p = [(0, 0)] * x.ndim
+        p[axis] = (0, new_len - x.shape[axis])
+        return jnp.pad(x, p)
+
+    return tuple(
+        (pad(leaf[0], 2), pad(leaf[1], 2))
+        + tuple(pad(s, 3) for s in leaf[2:])
+        for leaf in cache
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
@@ -244,7 +281,7 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         init_kv_cache_q8,
     )
 
-    from zs_aac_tpu.decoding.greedy import _grow_cache, _segment_bounds
+    from zs_aac_tpu.decoding.greedy import _segment_bounds
 
     B, Lp, D = prefix_embeds.shape
     K = beam_size
@@ -271,6 +308,15 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T)
     )
 
+    # vocab padding for the two-stage select: the in-loop lm_head emits
+    # G*S-lane logits so the select's group reshape needs no pad copy
+    V = logits1.shape[-1]
+    if V > 4096:
+        S = _group_size(V)
+        n_pad = -(-V // S) * S - V
+    else:
+        n_pad = 0
+
     # score accumulation is fp32 regardless of the model compute dtype
     logp0 = jax.nn.log_softmax(
         logits1[:, -1].astype(jnp.float32) / temperature, axis=-1
@@ -285,9 +331,11 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
     def body(state):
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
-        logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1)
+        logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1,
+                                  pad_vocab=n_pad)
         top_avg, src, nxt, new_len = _beam_select(
-            logits, scores, seq_lengths, is_stopped, temperature, B, K)
+            logits, scores, seq_lengths, is_stopped, temperature, B, K,
+            real_vocab=V)
 
         tokens = jnp.take_along_axis(tokens, src[..., None], axis=1)
         tokens = tokens.at[:, :, i].set(nxt)
@@ -304,7 +352,7 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         need = Lp + end
         if anc.shape[2] < need:
-            cache = _grow_cache(cache, need)
+            cache = _grow_beam_cache(cache, need)
             anc = jnp.pad(anc, ((0, 0), (0, 0), (0, need - anc.shape[2])))
         state = (i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur)
 

@@ -125,6 +125,27 @@ def _logits(x, params):
     return x @ params["wte"].T
 
 
+def _logits_padded(x, params, n_pad: int):
+    """``_logits`` with the vocab axis zero-padded by ``n_pad`` rows
+    (pad lanes emit logit 0 — consumers mask them). Lets vocab-pass
+    consumers (the beam's two-stage top-k, ``decoding/beam.py``) reshape
+    the logits into uniform lane groups without the materialized pad copy
+    + two 39 MB layout copies XLA otherwise inserts per decode step
+    (round-3 profile). The padded weight is loop-invariant, so XLA hoists
+    its construction out of the decode while_loop."""
+    if n_pad == 0:
+        return _logits(x, params)
+    if "wte_q" in params:
+        q = params["wte_q"]
+        w = jnp.pad(q["w"], ((0, n_pad), (0, 0)))
+        if "scale_a8" in q:
+            s = jnp.pad(q["scale_a8"], (0, n_pad), constant_values=1.0)
+            return _int8_dot(x, w, s, x.dtype, w_contract_dim=1)
+        s = jnp.pad(q["scale"], (0, n_pad), constant_values=1.0)
+        return (x @ w.T.astype(x.dtype)) * s.astype(x.dtype)
+    return x @ jnp.pad(params["wte"], ((0, n_pad), (0, 0))).T
+
+
 def _split_heads(x, n_head):
     B, L, D = x.shape
     return x.reshape(B, L, n_head, D // n_head).transpose(0, 2, 1, 3)
@@ -288,17 +309,25 @@ def gpt2_step(params, cfg: GPT2Config, x_embed, cache, index, return_hidden=Fals
 
 def init_beam_cache_q8(cfg: GPT2Config, prefill_cache_q8, beam_size: int):
     """Expand an int8 prefill cache into per-layer beam leaves:
-    tuple of (k int8 [B,H,K,T,d], v int8, k_scale fp32 [B,H,K,T], v_scale)."""
+    tuple of (k int8 [B,K,T,C], v int8, k_scale fp32 [B,H,K,T], v_scale).
+
+    K/V use the head-folded channel layout (see ``init_beam_cache``); the
+    dequant scales keep their per-(b,h,r,t) granularity — quantized values
+    are bit-identical to the round-2 head-split layout."""
     ks, vs = prefill_cache_q8["k"], prefill_cache_q8["v"]
     sk, sv = prefill_cache_q8["k_scale"], prefill_cache_q8["v_scale"]
+    B, H, T, d = ks[0].shape
+    K = beam_size
 
-    def expand(x):
-        return jnp.broadcast_to(
-            x[:, :, None], (*x.shape[:2], beam_size, *x.shape[2:])
-        )
+    def fold(x):  # [B, H, T, d] -> [B, K, T, H*d]
+        flat = x.transpose(0, 2, 1, 3).reshape(B, T, H * d)
+        return jnp.broadcast_to(flat[:, None], (B, K, T, H * d))
+
+    def expand(x):  # [B, H, T] -> [B, H, K, T]
+        return jnp.broadcast_to(x[:, :, None], (B, H, K, T))
 
     return tuple(
-        (expand(ks[i]), expand(vs[i]), expand(sk[i]), expand(sv[i]))
+        (fold(ks[i]), fold(vs[i]), expand(sk[i]), expand(sv[i]))
         for i in range(ks.shape[0])
     )
 
@@ -316,20 +345,36 @@ def _beam_sel_bias(anc, K: int, T: int, index):
     return bias.reshape(B, 1, K, K * T)
 
 
-def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
+def _beam_head_masks(H: int, K: int, C: int, dtype):
+    """Masked-head helpers (see ``gpt2_step_beam``): ``mask_mc [H*K, C]`` is
+    1 where channel ``c`` belongs to the head owning query row ``m = h*K+j``,
+    and ``mask_hc [H, C]`` selects head ``h``'s channel block."""
+    d = C // H
+    mask_hc = (jnp.arange(C)[None, :] // d
+               == jnp.arange(H)[:, None]).astype(dtype)        # [H, C]
+    mask_mc = jnp.repeat(mask_hc, K, axis=0)                    # [H*K, C]
+    return mask_mc, mask_hc
+
+
+def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index,
+                      pad_vocab: int = 0):
     """``gpt2_step_beam`` over the int8 KV cache (+ per-vector scales):
     halves the dominant HBM stream of batched beam decode. Dequantization is
     folded into the attention contractions; cache layout/ancestry semantics
-    are identical to the bf16 beam step."""
+    are identical to the bf16 beam step (head-folded [B,K,T,C] K/V with
+    per-(b,h,r,t) scales [B,H,K,T] applied to scores/probs post-dot)."""
     BK, D = x_embed.shape
     B, K = anc.shape[0], anc.shape[1]
-    T = cache[0][0].shape[3]
+    T = cache[0][0].shape[2]
+    C = cfg.n_embd
     H = cfg.n_head
-    d = cfg.n_embd // H
+    d = C // H
+    M = H * K
     x = (x_embed + params["wpe"][index])[:, None]
 
     anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
     bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K*T], per step
+    mask_mc, mask_hc = _beam_head_masks(H, K, C, x.dtype)
 
     new_cache = []
     for i in range(cfg.n_layer):
@@ -337,31 +382,38 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
         ck, cv, sk, sv = cache[i]
         h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
         qkv = _mm(h, blk["attn"]["c_attn"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        k = k.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        v = v.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        kq_, ks_ = _quantize_vec(k.astype(jnp.float32))
-        vq_, vs_ = _quantize_vec(v.astype(jnp.float32))
-        ck = ck.at[:, :, :, index].set(kq_)
-        cv = cv.at[:, :, :, index].set(vq_)
-        sk = sk.at[:, :, :, index].set(ks_)
-        sv = sv.at[:, :, :, index].set(vs_)
+        q, k, v = jnp.split(qkv[:, 0], 3, axis=-1)    # [B*K, C], (h, d) order
+        kq_, ks_ = _quantize_vec(k.astype(jnp.float32).reshape(B, K, H, d))
+        vq_, vs_ = _quantize_vec(v.astype(jnp.float32).reshape(B, K, H, d))
+        ck = ck.at[:, :, index].set(kq_.reshape(B, K, C))
+        cv = cv.at[:, :, index].set(vq_.reshape(B, K, C))
+        sk = sk.at[:, :, :, index].set(ks_.transpose(0, 2, 1))
+        sv = sv.at[:, :, :, index].set(vs_.transpose(0, 2, 1))
         new_cache.append((ck, cv, sk, sv))
 
-        # ancestry-bias attention (see gpt2_step_beam): the cache is READ in
-        # its stored 5-D layout (reshaping the DUS-updated buffer to
-        # [B,H,K*T,d] breaks XLA's in-place aliasing — 24 full-cache copies
-        # per step, profiled); only the tiny score tensor is flattened for
-        # the masked softmax. k/v dequant scales fold into scores/probs.
-        s = jnp.einsum("bhjd,bhrtd->bhjrt", q, ck.astype(x.dtype))
+        # masked-head folded attention (see gpt2_step_beam); the int8
+        # dequant converts fuse into the two full-C dots and the per-head
+        # scales fold into scores/probs exactly as in the head-split layout.
+        # The cache is read in its STORED [B, K, T, C] shape — (r, t) are
+        # free/contracting dims of the dot_generals, never reshaped (a
+        # [B, K*T, C] reshape of the DUS-updated buffer defeats XLA's
+        # in-place aliasing: full cache copy per layer, measured).
+        q_all = jnp.tile(q.reshape(B, K, C), (1, H, 1)) * mask_mc[None]
+        s = jax.lax.dot_general(
+            q_all, ck.astype(x.dtype),
+            (((2,), (3,)), ((0,), (0,))),
+        ).reshape(B, H, K, K, T)                       # [B, M, K, T] view
         s = s * sk[:, :, None].astype(x.dtype) * float(1.0 / np.sqrt(d))
         att = jax.nn.softmax(
             s.reshape(B, H, K, K * T).astype(jnp.float32) + bias, axis=-1
         ).astype(x.dtype).reshape(B, H, K, K, T)
         att = att * sv[:, :, None].astype(x.dtype)
-        o = jnp.einsum("bhjrt,bhrtd->bhjd", att, cv.astype(x.dtype))
-        o = o.transpose(0, 2, 1, 3).reshape(BK, 1, cfg.n_embd)
+        o_all = jax.lax.dot_general(
+            att.reshape(B, M, K, T), cv.astype(x.dtype),
+            (((2, 3), (1, 2)), ((0,), (0,))),
+        )                                              # [B, M, C]
+        o = jnp.sum(o_all.reshape(B, H, K, C) * mask_hc[None, :, None], axis=1)
+        o = o.reshape(BK, 1, C)
         o = _mm(o, blk["attn"]["c_proj"])
         x = x + o
         h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
@@ -369,7 +421,7 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index):
         x = x + _mm(h, blk["mlp"]["c_proj"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = _logits(x, params)[:, 0].astype(jnp.float32)
+    logits = _logits_padded(x, params, pad_vocab)[:, 0].astype(jnp.float32)
     return logits, tuple(new_cache), anc
 
 
@@ -523,30 +575,39 @@ def gpt2_commit_probe(cache, new_kv, sel, index):
 
 def init_beam_cache(cfg: GPT2Config, prefill_cache, beam_size: int):
     """Expand a prefill cache [n_layer, B, H, T, d] into the beam layout:
-    a TUPLE of per-layer (k, v) pairs, each [B, H, K, T, d].
+    a TUPLE of per-layer (k, v) pairs, each **[B, K, T, C]** with the head
+    axis folded into the channel dim (C = H*d, (h, d)-ordered — the raw
+    qkv-slice channel order, so appends need no head split at all).
 
-    Two deliberate layout choices, both measured on the chip:
-    - The K axis sits *inside* (B, H) so every attention einsum in
-      ``gpt2_step_beam`` batches over the leading (b, h) dims with the
-      cache in its stored layout.
+    Three deliberate layout choices, all measured on the chip:
     - Each layer is its own carry leaf. A layer-stacked
-      ``[n_layer, B, H, K, T, d]`` buffer made XLA lower every per-layer
+      ``[n_layer, ...]`` buffer made XLA lower every per-layer
       ``.at[i, ..., index].set`` as a slice + full-slice-rewrite fusion
       (24 x 11 MB per decode step — ~0.5 GB/step of pure copy, the round-1
       beam bottleneck); per-layer leaves update in place.
+    - The minor dim is the FULL channel width (768 = 6 x 128 lanes), not the
+      per-head d=64: the round-2 [B,H,K,T,d] layout made every attention
+      dot read the cache through half-empty 128-lane tiles (~2x HBM
+      amplification; the score/value fusions profiled at ~150 GB/s
+      effective). ``gpt2_step_beam`` reads this layout with masked-head
+      full-C contractions instead of per-head d-contractions.
+    - The (K, T) axes sit directly under B so ``[B, K*T, C]`` — the shape
+      both attention dots consume — is a free reshape, and the per-step
+      append writes B*K contiguous 768-wide rows.
     """
     ks, vs = prefill_cache["k"], prefill_cache["v"]
+    B, H, T, d = ks[0].shape
+    K = beam_size
 
-    def expand(x):  # [B, H, T, d] -> [B, H, K, T, d]
-        return jnp.broadcast_to(
-            x[:, :, None], (*x.shape[:2], beam_size, *x.shape[2:])
-        )
+    def fold(x):  # [B, H, T, d] -> [B, K, T, H*d]
+        flat = x.transpose(0, 2, 1, 3).reshape(B, T, H * d)
+        return jnp.broadcast_to(flat[:, None], (B, K, T, H * d))
 
-    return tuple((expand(ks[i]), expand(vs[i])) for i in range(ks.shape[0]))
+    return tuple((fold(ks[i]), fold(vs[i])) for i in range(ks.shape[0]))
 
 
 def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
-                   return_hidden=False):
+                   return_hidden=False, pad_vocab: int = 0):
     """One cached decode step for ``B`` clips x ``K`` beams with an
     **ancestry-indirected** cache read (no per-step cache reorder).
 
@@ -563,7 +624,7 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     HBM traffic per step.
 
     ``x_embed``: [B*K, D] (beam-major rows). ``cache``: per-layer tuple of
-    (k, v), each [B, H, K, T, d] (see ``init_beam_cache``). Returns
+    (k, v), each [B, K, T, C] head-folded (see ``init_beam_cache``). Returns
     (logits [B*K, V] fp32, cache, anc) with ``anc[:, :, index]`` set to the
     own-row identity, plus post-ln_f hidden [B*K, D] when ``return_hidden``.
 
@@ -579,16 +640,32 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     XLA's attention fusions are built for. Exactness: adding -1e9 before
     the max-subtracted softmax zeroes non-selected lanes exactly, so the
     selected-lane probabilities equal the round-2 formulation's.
+
+    Round-3 refinement: the per-head d=64 contractions read the cache
+    through half-empty 128-lane int8/bf16 tiles (~2x HBM amplification,
+    profiled ~150 GB/s effective). The cache therefore stores K/V with the
+    head axis folded into the channel dim ([B, K, T, C], ``init_beam_cache``)
+    and attention uses the **masked-head big-matmul** trick proven in
+    ``ops/window_attn.py``: query row ``m = h*K + j`` is beam j's q with all
+    but head h's channels zeroed, so scores for ALL heads come from ONE
+    full-C-contraction batched dot against the [B, K*T, C] cache view (and
+    values from one probs x V dot, head blocks re-masked and summed after).
+    H x the dot FLOPs — noise for a decode step — in exchange for
+    full-lane cache streaming; per-channel sums are unchanged (masked
+    channels contribute exact zeros), so emitted tokens are identical.
     """
     BK, D = x_embed.shape
     B, K = anc.shape[0], anc.shape[1]
-    T = cache[0][0].shape[3]
+    T = cache[0][0].shape[2]
+    C = cfg.n_embd
     H = cfg.n_head
-    d = cfg.n_embd // H
+    d = C // H
+    M = H * K
     x = (x_embed + params["wpe"][index])[:, None]  # [B*K, 1, D]
 
     anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
     bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K*T], per step
+    mask_mc, mask_hc = _beam_head_masks(H, K, C, x.dtype)
 
     new_cache = []
     for i in range(cfg.n_layer):
@@ -596,28 +673,31 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
         ck, cv = cache[i]
         h = _ln(x, blk["ln_1"], cfg.layer_norm_epsilon)
         qkv = _mm(h, blk["attn"]["c_attn"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        # [B*K, 1, D] -> [B, H, K, d] (tiny transposes; the cache stays put)
-        q = q.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        k = k.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        v = v.reshape(B, K, H, d).transpose(0, 2, 1, 3)
-        ck = ck.at[:, :, :, index].set(k.astype(ck.dtype))
-        cv = cv.at[:, :, :, index].set(v.astype(cv.dtype))
+        q, k, v = jnp.split(qkv[:, 0], 3, axis=-1)    # [B*K, C], (h, d) order
+        ck = ck.at[:, :, index].set(k.reshape(B, K, C).astype(ck.dtype))
+        cv = cv.at[:, :, index].set(v.reshape(B, K, C).astype(cv.dtype))
         new_cache.append((ck, cv))
-        # READ the cache in its stored 5-D layout — a [B,H,K*T,d] reshape of
-        # the DUS-updated buffer defeats XLA's in-place aliasing and forces
-        # a full-cache copy per layer per step (profiled: 24 x ~76us/step).
-        # Only the tiny score tensor is flattened for the masked softmax.
-        # weak Python float: a numpy scalar is dtype-strong and would
-        # upcast bf16 (round-2 gelu lesson)
-        s = jnp.einsum("bhjd,bhrtd->bhjrt", q * float(1.0 / np.sqrt(d)),
-                       ck.astype(x.dtype))
+        # weak Python float scale: a numpy scalar is dtype-strong and would
+        # upcast bf16 (round-2 gelu lesson). The cache is read in its
+        # STORED [B, K, T, C] shape — (r, t) are free/contracting dims of
+        # the dot_generals, never reshaped (a [B, K*T, C] reshape of the
+        # DUS-updated buffer defeats XLA's in-place aliasing: full cache
+        # copy per layer, measured).
+        q_all = (jnp.tile(q.reshape(B, K, C), (1, H, 1))
+                 * float(1.0 / np.sqrt(d))) * mask_mc[None]
+        s = jax.lax.dot_general(
+            q_all, ck.astype(x.dtype),
+            (((2,), (3,)), ((0,), (0,))),
+        )                                              # [B, M, K, T]
         att = jax.nn.softmax(
             s.reshape(B, H, K, K * T).astype(jnp.float32) + bias, axis=-1
-        ).astype(x.dtype).reshape(B, H, K, K, T)
-        o = jnp.einsum("bhjrt,bhrtd->bhjd", att, cv.astype(x.dtype))
-        # [B, H, K, d] -> [B*K, 1, D]
-        o = o.transpose(0, 2, 1, 3).reshape(BK, 1, cfg.n_embd)
+        ).astype(x.dtype)
+        o_all = jax.lax.dot_general(
+            att.reshape(B, M, K, T), cv.astype(x.dtype),
+            (((2, 3), (1, 2)), ((0,), (0,))),
+        )                                              # [B, M, C]
+        o = jnp.sum(o_all.reshape(B, H, K, C) * mask_hc[None, :, None], axis=1)
+        o = o.reshape(BK, 1, C)
         o = _mm(o, blk["attn"]["c_proj"])
         x = x + o
         h = _ln(x, blk["ln_2"], cfg.layer_norm_epsilon)
@@ -625,7 +705,7 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
         x = x + _mm(h, blk["mlp"]["c_proj"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = _logits(x, params)[:, 0].astype(jnp.float32)
+    logits = _logits_padded(x, params, pad_vocab)[:, 0].astype(jnp.float32)
     if return_hidden:
         return logits, tuple(new_cache), anc, x[:, 0]
     return logits, tuple(new_cache), anc
