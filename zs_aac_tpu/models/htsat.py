@@ -132,6 +132,21 @@ class _LinParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm parameters (same init and param paths as
+    nn.LayerNorm) — lets the whole-block fused Pallas path consume the raw
+    scale/bias while the XLA path keeps using nn.LayerNorm on the
+    identical tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
 class _WindowAttention(nn.Module):
     dim: int
     window: int
@@ -139,13 +154,16 @@ class _WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, *, fused_image=None, shift: int = 0):
+    def __call__(self, x, mask=None, *, fused_image=None, shift: int = 0,
+                 return_raw: bool = False):
         """Windowed attention.
 
         XLA path: ``x`` is pre-partitioned [B_, N, C]. Fused path: pass the
         un-partitioned image via ``fused_image`` [B, H, W, C] (ignore ``x``)
         — the whole roll/partition/attend/reverse/unroll chain runs inside
-        one Pallas kernel (ops/window_attn.py)."""
+        one Pallas kernel (ops/window_attn.py). ``return_raw`` instead
+        returns the raw kernels + per-window bias for the whole-block fused
+        path (``fused_image`` supplies the grid shape only)."""
         C = self.dim
         h = self.num_heads
         d = C // h
@@ -170,6 +188,9 @@ class _WindowAttention(nn.Module):
             B, H, W, _ = fused_image.shape
             nH, nW = H // self.window, W // self.window
             bias = build_window_bias(rpb, mask, nH, nW)
+            if return_raw:
+                return (qkv_k.astype(dt), qkv_b.astype(dt),
+                        proj_k.astype(dt), proj_b.astype(dt), bias)
             return fused_window_attention(
                 fused_image.astype(dt), qkv_k.astype(dt), qkv_b.astype(dt),
                 proj_k.astype(dt), proj_b.astype(dt), bias,
@@ -204,6 +225,7 @@ class _SwinBlock(nn.Module):
     drop_path: float = 0.0
     dtype: Any = jnp.float32
     fused_attn: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -213,6 +235,43 @@ class _SwinBlock(nn.Module):
             shift = 0
             window = min(H, W)
         B, L, C = x.shape
+
+        if self.fused_block and not train:
+            # whole-block Pallas kernel (LN1/attn/residual/LN2/MLP/residual
+            # VMEM-resident); eval-only — drop_path is identity there. Falls
+            # through to the layered path when the block's MLP weights
+            # don't fit the kernel's VMEM budget (stage 4).
+            from zs_aac_tpu.ops.window_attn import (
+                _pick_rows_block,
+                fused_swin_block,
+            )
+
+            hidden = int(C * self.mlp_ratio)
+            fits = _pick_rows_block(
+                H // window, W // window, window * window, C,
+                self.num_heads, hidden, jnp.dtype(self.dtype).itemsize,
+            ) is not None
+            if fits:
+                dt = self.dtype
+                x4 = x.reshape(B, H, W, C).astype(dt)
+                mask = _shift_attn_mask(H, W, window, shift)
+                mask = jnp.asarray(mask) if mask is not None else None
+                attn = _WindowAttention(C, window, self.num_heads, dt,
+                                        name="attn")
+                qkv_k, qkv_b, proj_k, proj_b, bias = attn(
+                    None, mask, fused_image=x4, shift=shift,
+                    return_raw=True)
+                ln1_s, ln1_b = _LNParams(C, name="norm1")()
+                ln2_s, ln2_b = _LNParams(C, name="norm2")()
+                fc1_k, fc1_b = _LinParams(C, hidden, name="fc1")()
+                fc2_k, fc2_b = _LinParams(hidden, C, name="fc2")()
+                out = fused_swin_block(
+                    x4, ln1_s, ln1_b, qkv_k, qkv_b, proj_k, proj_b,
+                    ln2_s, ln2_b, fc1_k.astype(dt), fc1_b.astype(dt),
+                    fc2_k.astype(dt), fc2_b.astype(dt), bias,
+                    window, self.num_heads, shift, 1e-6,
+                )
+                return out.reshape(B, L, C)
 
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -285,16 +344,22 @@ class HTSAT(nn.Module):
     # Pallas fused window attention (inference): True/False for all stages,
     # or a tuple of stage indices (e.g. (0, 1)) to fuse only those stages.
     fused_attn: Any = False
+    # Pallas whole-block fusion (eval only; LN/attn/MLP/residuals in one
+    # kernel). Same True/False/stage-tuple convention; a stage whose MLP
+    # weights exceed the kernel's VMEM budget silently falls back to
+    # ``fused_attn``'s path for that block.
+    fused_block: Any = False
     dtype: Any = jnp.float32
 
     @property
     def freq_ratio(self) -> int:
         return self.spec_size // self.n_mels
 
-    def _stage_fused(self, i: int) -> bool:
-        if isinstance(self.fused_attn, (tuple, list, frozenset)):
-            return i in self.fused_attn
-        return bool(self.fused_attn)
+    def _stage_fused(self, i: int, attr=None) -> bool:
+        attr = self.fused_attn if attr is None else attr
+        if isinstance(attr, (tuple, list, frozenset)):
+            return i in attr
+        return bool(attr)
 
     @property
     def num_features(self) -> int:
@@ -361,6 +426,7 @@ class HTSAT(nn.Module):
                     shift=0 if j % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio, drop_path=float(dpr[blk_id]),
                     dtype=self.dtype, fused_attn=self._stage_fused(i),
+                    fused_block=self._stage_fused(i, self.fused_block),
                     name=f"layer{i}_block{j}",
                 )(x, train)
                 blk_id += 1

@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention", "build_window_bias"]
+__all__ = ["fused_window_attention", "fused_swin_block", "build_window_bias"]
 
 
 def build_window_bias(rpb, mask, nH: int, nW: int):
@@ -202,6 +202,275 @@ def _reference_window_attention(x, qkv_w, qkv_b, proj_w, proj_b, bias,
     )
     if shift:
         out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out
+
+
+def _ln(x, scale, bias, eps):
+    """LayerNorm over the minor (channel) axis, statistics in fp32 —
+    matches flax ``nn.LayerNorm`` semantics (biased variance) to within
+    statistic-precision ULPs."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def _gelu_exact_f32(x):
+    """Exact (erf) gelu for fp32 kernel operands. Mosaic has no erf/erfc
+    lowering, so erf uses Abramowitz & Stegun 7.1.26 (|abs err| <= 1.5e-7
+    — two decades below bf16 resolution; the XLA twin keeps the native
+    erf)."""
+    z = x * 0.7071067811865476
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _block_kernel(x_ref, ln1_ref, qkv_w_ref, qkv_b_ref, proj_w_ref,
+                  proj_b_ref, ln2_ref, fc1_w_ref, fc1_b_ref, fc2_w_ref,
+                  fc2_b_ref, bias_ref, out_ref, *, window: int,
+                  num_heads: int, shift: int, rows: int, eps: float):
+    """Whole Swin block (LN1 -> window attention -> residual -> LN2 -> MLP
+    -> residual) on one row-slab, VMEM-resident end to end. The residuals
+    use the UN-column-shifted slab; the column shift/unshift wrap only the
+    attention chain (LN is pointwise, so normalizing before the shift is
+    exact)."""
+    w = window
+    slab = x_ref[0]                       # [R, W, C], R = rows*w
+    W = slab.shape[1]
+    C = slab.shape[2]
+    h = num_heads
+    d = C // h
+    N = w * w
+    nW = W // w
+    nWin = rows * nW
+    dt = slab.dtype
+
+    xn = _ln(slab, ln1_ref[0], ln1_ref[1], eps)
+    if shift:
+        xn = jnp.concatenate([xn[:, shift:], xn[:, :shift]], axis=1)
+
+    xw = (
+        xn.reshape(rows, w, nW, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nWin * N, C)
+    )
+    qkv = (
+        jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0]
+    ).astype(dt)
+    q = qkv[:, 0 * C : 1 * C].reshape(nWin, N, C)
+    k = qkv[:, 1 * C : 2 * C].reshape(nWin, N, C)
+    v = qkv[:, 2 * C : 3 * C].reshape(nWin, N, C)
+
+    mask2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 1) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 0) // N
+    ).astype(dt)
+    scale = float(1.0 / np.sqrt(d))
+    q_all = jnp.concatenate([q] * h, axis=1) * mask2[None]
+
+    s = jax.lax.dot_general(
+        q_all * jnp.asarray(scale, dt), k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[:].reshape(nWin, h * N, N)
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    o_all = jax.lax.dot_general(
+        p, v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    o_all = o_all * mask2[None]
+    o = o_all[:, 0:N, :]
+    for head in range(1, h):
+        o = o + o_all[:, head * N : (head + 1) * N, :]
+
+    o = (
+        jnp.dot(o.reshape(nWin * N, C), proj_w_ref[:],
+                preferred_element_type=jnp.float32)
+        + proj_b_ref[0]
+    ).astype(dt)
+    o = (
+        o.reshape(rows, nW, w, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * w, W, C)
+    )
+    if shift:
+        o = jnp.concatenate([o[:, W - shift :], o[:, : W - shift]], axis=1)
+
+    y = slab + o                          # residual 1 (original positions)
+    yn = _ln(y, ln2_ref[0], ln2_ref[1], eps).reshape(rows * w * W, C)
+    hmid = (
+        jnp.dot(yn, fc1_w_ref[:], preferred_element_type=jnp.float32)
+        + fc1_b_ref[0]
+    )
+    hmid = _gelu_exact_f32(hmid).astype(dt)
+    z = (
+        jnp.dot(hmid, fc2_w_ref[:], preferred_element_type=jnp.float32)
+        + fc2_b_ref[0]
+    ).astype(dt)
+    out_ref[0] = y + z.reshape(rows * w, W, C)
+
+
+def _pick_rows_block(nH: int, nW: int, N: int, C: int, num_heads: int,
+                     hidden: int, itemsize: int):
+    """Row count for the whole-block kernel, or ``None`` when even one
+    window-row (plus the resident MLP weights) exceeds the VMEM budget —
+    callers then fall back to the attention-only kernel + XLA MLP
+    (stage 4's C=768 MLP weights alone are ~14 MB)."""
+    weights = (C * 3 * C + C * C + C * hidden + hidden * C) * itemsize
+    for rows in range(nH, 0, -1):
+        if nH % rows:
+            continue
+        nWin = rows * nW
+        q_all = nWin * num_heads * N * C * itemsize
+        s = nWin * num_heads * N * N * 4
+        mlp = nWin * N * hidden * (itemsize + 4)   # bf16 act + f32 pre-gelu
+        if weights + q_all + 2 * s + s + mlp < 10 * 1024 * 1024:
+            return rows
+    return None
+
+
+def _reference_swin_block(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+                          ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b, bias,
+                          window: int, num_heads: int, shift: int,
+                          eps: float):
+    """Pure-jnp twin of ``_block_kernel`` (the backward linearizes this)."""
+    xn = _ln(x, ln1_s, ln1_b, eps)
+    o = _reference_window_attention(xn, qkv_w, qkv_b, proj_w, proj_b, bias,
+                                    window, num_heads, shift)
+    y = x + o
+    yn = _ln(y, ln2_s, ln2_b, eps)
+    hmid = yn.astype(jnp.float32) @ fc1_w.astype(jnp.float32) + fc1_b
+    hmid = jax.nn.gelu(hmid, approximate=False).astype(x.dtype)
+    z = (hmid.astype(jnp.float32) @ fc2_w.astype(jnp.float32)
+         + fc2_b).astype(x.dtype)
+    return y + z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+def fused_swin_block(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+                     ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b, bias,
+                     window: int, num_heads: int, shift: int, eps: float):
+    """One whole Swin block fused into a single Pallas kernel.
+
+    Parity target: ``models/htsat.py::_SwinBlock`` eval path (reference
+    torch chain ``/root/reference/retrieval/models/htsat.py:269-475``:
+    norm1 -> roll -> partition -> attention -> reverse -> unroll ->
+    residual -> norm2 -> MLP -> residual; drop_path is identity in eval).
+    Extends ``fused_window_attention`` with VMEM-resident LN1/LN2/MLP —
+    the encode profile showed ~60% of end-to-end time in the XLA glue
+    around the attention kernels (LN reduces, residual adds and MLP
+    relayouts over the lane-hostile C=96/192 stage activations).
+
+    Returns ``None``-safe shapes: caller must check
+    ``_pick_rows_block(...) is not None`` (stage-4 MLP weights don't fit)
+    and fall back to the attention-only kernel.
+    """
+    return _fused_swin_block_fwd_only(
+        x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+        fc1_w, fc1_b, fc2_w, fc2_b, bias, window, num_heads, shift, eps,
+    )
+
+
+def _fsb_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+             fc1_w, fc1_b, fc2_w, fc2_b, bias, window, num_heads, shift,
+             eps):
+    out = _fused_swin_block_fwd_only(
+        x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+        fc1_w, fc1_b, fc2_w, fc2_b, bias, window, num_heads, shift, eps,
+    )
+    return out, (x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s,
+                 ln2_b, fc1_w, fc1_b, fc2_w, fc2_b, bias)
+
+
+def _fsb_bwd(window, num_heads, shift, eps, res, g):
+    f = functools.partial(_reference_swin_block, window=window,
+                          num_heads=num_heads, shift=shift, eps=eps)
+    _, vjp = jax.vjp(f, *res)
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(14, 15, 16, 17))
+def _fused_swin_block_fwd_only(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w,
+                               proj_b, ln2_s, ln2_b, fc1_w, fc1_b, fc2_w,
+                               fc2_b, bias, window: int, num_heads: int,
+                               shift: int, eps: float):
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    N = w * w
+    hidden = fc1_w.shape[1]
+    rows = _pick_rows_block(nH, nW, N, C, num_heads, hidden, x.dtype.itemsize)
+    assert rows is not None, "caller must gate on _pick_rows_block"
+
+    if shift:
+        x_in = jax.lax.slice_in_dim(
+            jnp.concatenate([x, x[:, :w]], axis=1), shift, shift + H, axis=1
+        )
+    else:
+        x_in = x
+
+    pair = lambda s, b: jnp.stack([s, b]).astype(x.dtype)  # [2, C]/[2, hid]
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, window=w, num_heads=num_heads,
+                          shift=shift, rows=rows, eps=eps),
+        grid=(B, nH // rows),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda b, i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+    )(
+        x_in, pair(ln1_s, ln1_b), qkv_w, qkv_b.reshape(1, -1), proj_w,
+        proj_b.reshape(1, -1), pair(ln2_s, ln2_b), fc1_w,
+        fc1_b.reshape(1, -1), fc2_w, fc2_b.reshape(1, -1), bias,
+    )
+
+    if shift:
+        out = jnp.roll(out, shift, axis=1)
     return out
 
 

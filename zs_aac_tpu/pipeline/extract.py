@@ -79,7 +79,8 @@ def load_ase_encoders(config: dict, ckpt: Optional[str] = None):
 
         from zs_aac_tpu.models.ase import ASE
 
-        ase = ASE(dataclasses.replace(ase.cfg, fused_attn=True))
+        ase = ASE(dataclasses.replace(ase.cfg, fused_attn=True,
+                                      fused_block=True))
     enc_a, enc_t = make_encode_fns(ase, mel_cfg, mel_impl=config.get("mel_impl", "pallas")
                                    if jax.default_backend() == "tpu" else "xla")
 
