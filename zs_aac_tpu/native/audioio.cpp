@@ -16,6 +16,9 @@
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <map>
+#include <mutex>
+#include <numeric>
 #include <vector>
 
 namespace {
@@ -110,31 +113,87 @@ double bessel_i0(double x) {
     return s;
 }
 
+constexpr int HALF = 16;
+constexpr double BETA = 8.6;
+constexpr int TAPS = 2 * HALF;  // k in [-HALF+1, HALF]
+
+double tap_weight(double d, double cutoff, double denom) {
+    double t = d / HALF;
+    if (t < -1.0 || t > 1.0) return 0.0;
+    double sinc = d == 0.0 ? 1.0 : sin(M_PI * cutoff * d) / (M_PI * cutoff * d);
+    double win = bessel_i0(BETA * sqrt(1.0 - t * t)) / denom;
+    return cutoff * sinc * win;
+}
+
+// Precomputed polyphase weights: for a rational ratio sr_in/sr_out = M/L
+// (after gcd), output o reads from src = o*M/L, whose fractional part
+// cycles through exactly L phases — the Kaiser-sinc weights depend only on
+// that phase. The first implementation evaluated sin + sqrt + a full
+// Bessel-I0 series per tap per OUTPUT SAMPLE (~0.5 s for 10 s of 44.1k
+// audio on one host core — the whole bank-build pipeline was host-bound on
+// it); the table turns the hot loop into a 32-tap dot product.
+struct PolyTable {
+    std::vector<double> w;     // [L][TAPS], tap k-(-HALF+1) at phase p
+    std::vector<double> wsum;  // [L]
+};
+
+std::mutex g_table_mu;
+std::map<std::pair<int, int>, PolyTable> g_tables;
+
+const PolyTable* poly_table(long L, double cutoff, int sr_in, int sr_out) {
+    if (L > (1L << 16)) return nullptr;  // degenerate ratio: fall back
+    std::lock_guard<std::mutex> lock(g_table_mu);
+    auto key = std::make_pair(sr_in, sr_out);
+    auto it = g_tables.find(key);
+    if (it != g_tables.end()) return &it->second;
+    const double denom = bessel_i0(BETA);
+    PolyTable t;
+    t.w.resize((size_t)L * TAPS);
+    t.wsum.resize((size_t)L);
+    for (long p = 0; p < L; p++) {
+        double frac = (double)p / (double)L;   // src - base
+        double sum = 0.0;
+        for (int k = -HALF + 1; k <= HALF; k++) {
+            double wgt = tap_weight(frac - (double)k, cutoff, denom);
+            t.w[(size_t)p * TAPS + (k + HALF - 1)] = wgt;
+            sum += wgt;
+        }
+        t.wsum[(size_t)p] = sum;
+    }
+    return &g_tables.emplace(key, std::move(t)).first->second;
+}
+
 // Kaiser-windowed sinc resampler (beta=8.6, 32 taps per phase).
 std::vector<float> resample_sinc(const std::vector<float>& x, int sr_in, int sr_out) {
     if (sr_in == sr_out) return x;
-    const int HALF = 16;
-    const double beta = 8.6;
     const double cutoff = sr_out < sr_in ? (double)sr_out / sr_in : 1.0;
-    const double denom = bessel_i0(beta);
+    const double denom = bessel_i0(BETA);
     long n_out = (long)((double)x.size() * sr_out / sr_in);
     std::vector<float> y((size_t)n_out);
-    const double step = (double)sr_in / sr_out;
+    long g = std::gcd((long)sr_in, (long)sr_out);
+    long L = sr_out / g, M = sr_in / g;
+    const PolyTable* tab = poly_table(L, cutoff, sr_in, sr_out);
+    const long n = (long)x.size();
     for (long o = 0; o < n_out; o++) {
-        double src = o * step;
-        long base = (long)src;
+        long num = o * M;
+        long base = num / L;
+        long phase = num - base * L;
         double acc = 0.0, wsum = 0.0;
-        for (int k = -HALF + 1; k <= HALF; k++) {
-            long idx = base + k;
-            if (idx < 0 || idx >= (long)x.size()) continue;
-            double d = src - (double)idx;
-            double sinc = d == 0.0 ? 1.0 : sin(M_PI * cutoff * d) / (M_PI * cutoff * d);
-            double t = d / HALF;
-            if (t < -1.0 || t > 1.0) continue;
-            double win = bessel_i0(beta * sqrt(1.0 - t * t)) / denom;
-            double wgt = cutoff * sinc * win;
-            acc += wgt * x[(size_t)idx];
-            wsum += wgt;
+        if (tab && base >= HALF && base + HALF < n) {
+            // interior fast path: pure 32-tap dot against the phase row
+            const double* w = &tab->w[(size_t)phase * TAPS];
+            const float* xs = &x[(size_t)(base - HALF + 1)];
+            for (int k = 0; k < TAPS; k++) acc += w[k] * xs[k];
+            wsum = tab->wsum[(size_t)phase];
+        } else {
+            double src = (double)num / (double)L;
+            for (int k = -HALF + 1; k <= HALF; k++) {
+                long idx = base + k;
+                if (idx < 0 || idx >= n) continue;
+                double wgt = tap_weight(src - (double)idx, cutoff, denom);
+                acc += wgt * x[(size_t)idx];
+                wsum += wgt;
+            }
         }
         y[(size_t)o] = wsum > 0 ? (float)(acc / wsum * cutoff) : 0.0f;
     }
