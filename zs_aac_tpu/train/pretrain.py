@@ -111,6 +111,10 @@ def build_ase_from_config(config: dict):
     # XLA path; inference (pipeline/extract.py, eval/zero_shot.py) enables
     # the kernel where it is a pure forward and the 1.38x is real.
     fused = config.get("fused_attn", False)
+    # whole-block fusion is eval-only (the flax block falls back to the
+    # layered path whenever train=True), so plumbing it through a training
+    # config is safe — inference callers get the fused eval path.
+    fused_block = config.get("fused_block", False)
     cfg = ASEConfig(
         embed_size=config.get("embed_size", 1024),
         temp=config.get("temp", 0.07),
@@ -122,6 +126,7 @@ def build_ase_from_config(config: dict):
         audio_channels=tuple(config["audio_channels"]) if config.get("audio_channels")
         else None,
         fused_attn=fused,
+        fused_block=fused_block,
         dtype=jnp.bfloat16 if config.get("compute_dtype") == "bfloat16"
         else jnp.float32,
     )
