@@ -222,3 +222,27 @@ def test_two_stage_beam_select_matches_direct():
         np.testing.assert_array_equal(np.asarray(src), np.asarray(src2))
         np.testing.assert_array_equal(np.asarray(nxt), np.asarray(nxt2))
         np.testing.assert_array_equal(np.asarray(new_len), np.asarray(len2))
+
+        # grouped lm_head path ([B*K, G, S], the in-loop fast path): the
+        # flat pre-padded path reshapes to the same group view internally,
+        # so the results must be bit-identical
+        lg3 = lp.reshape(B * K, 99, 512)
+        top3, src3, nxt3, len3 = _beam_select(
+            lg3, scores, seq_lengths, is_stopped, temp, B, K, real_vocab=V)
+        np.testing.assert_array_equal(np.asarray(top2), np.asarray(top3))
+        np.testing.assert_array_equal(np.asarray(src2), np.asarray(src3))
+        np.testing.assert_array_equal(np.asarray(nxt2), np.asarray(nxt3))
+
+        # bf16 grouped logits (the w8a8 in-loop dtype): winners must match
+        # a flat fp32 select over the SAME bf16-rounded values (the gather
+        # contraction accumulates bf16 lanes into fp32 losslessly)
+        lgb = lg3.astype(jnp.bfloat16)
+        topb, srcb, nxtb, _ = _beam_select(
+            lgb, scores, seq_lengths, is_stopped, temp, B, K, real_vocab=V)
+        topf, srcf, nxtf, _ = _beam_select(
+            lgb.astype(jnp.float32).reshape(B * K, -1), scores, seq_lengths,
+            is_stopped, temp, B, K, real_vocab=V)
+        np.testing.assert_array_equal(np.asarray(srcb), np.asarray(srcf))
+        np.testing.assert_array_equal(np.asarray(nxtb), np.asarray(nxtf))
+        np.testing.assert_allclose(np.asarray(topb), np.asarray(topf),
+                                   rtol=1e-5, atol=1e-6)

@@ -79,12 +79,16 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
     stopped beams contribute a forced 0-logprob token 0 and ``new_len`` is
     the per-beam length after appending (unchanged for stopped beams).
 
+    ``logits`` is either flat ``[B*K, V]`` or the GROUPED lm_head output
+    ``[B*K, G, S]`` (``models/gpt2.py::_logits_grouped`` — the in-loop
+    fast path; any float dtype, upcasts fuse into the reductions).
+
     Returns (top_avg [B, K] fp32 length-normalized winning scores,
     src [B, K] source-beam index, nxt [B, K] token id, new_len [B, K]
     pre-gather sequence lengths).
 
     For real vocabularies this runs as a TWO-STAGE exact top-k so the
-    [B*K, V] fp32 logits are touched by only two fused reduction passes
+    [B*K, V] logits are touched by only two fused reduction passes
     (group-max and logsumexp) instead of materializing log_softmax /
     score-sum / average tensors (six vocab-sized passes, ~530 us/step at
     B=64 on v5e, round-2 profile). The ranking transform is affine per row
@@ -96,55 +100,69 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
     groups (K*S lanes) and re-ranking exactly reproduces the brute-force
     selection, up to fp tie-order on bitwise-equal scores.
 
-    ``real_vocab``: when the caller's lm_head already emitted
-    ``G*S - real_vocab`` zero-padded lanes (``_logits_padded``), the group
-    reshape is free and the pad lanes are masked to -1e30 inside the two
-    reduction fusions — no materialized pad copy.
+    Grouped-input consumption is retile-free by construction (round-3
+    profile: a flat fp32 logits buffer re-tiled TWICE per step, 121 + 51
+    us at B*K=192, because the two passes read different reshapes): the
+    group-max and logsumexp passes read ``[B, K, G, S]`` and the gather
+    contraction ``[B, K*G, S]`` — all free views of the lm_head's output
+    buffer. Pad lanes (``G*S > V``) emit logit 0 from the grouped head and
+    are handled without touching the big buffer: a [G, S] iota mask fused
+    into both reduction fusions, and an explicit post-gather mask on the
+    tiny [B, K, S] candidate matrix (a pad lane's raw 0 logit would
+    otherwise rank above real negative-logit candidates).
     """
-    Vp = logits.shape[-1]
-    V = Vp if real_vocab is None else real_vocab
-    lg = logits.reshape(B, K, Vp)
     new_len = jnp.where(is_stopped, seq_lengths, seq_lengths + 1)
-    if V <= 4096:
-        # direct path (tiny/test vocabs): materialize the average-score
-        # tensor as the reference does
-        logp = jax.nn.log_softmax(lg.astype(jnp.float32) / temperature, axis=-1)
-        # arithmetic blend, not jnp.where: XLA materializes the where's
-        # [B, K*V] pred broadcast as a separate op in the decode loop
-        stopped_row = jnp.full((V,), _NEG_INF, jnp.float32).at[0].set(0.0)
-        m = is_stopped[..., None].astype(jnp.float32)
-        logp = logp * (1.0 - m) + stopped_row * m
-        avg = (scores[..., None] + logp) / new_len[..., None]
-        top_avg, flat = _topk_argmax(avg.reshape(B, -1), K)
-        src = flat // V
-        nxt = (flat % V).astype(jnp.int32)
-        return top_avg, src, nxt, new_len
-
-    S = _group_size(V)
-    G = -(-V // S)                                            # ragged last group
-    lgf = lg.astype(jnp.float32)
     inv_t = 1.0 / temperature
-    # pass 1: per-group maxima (also yields the row max for free). Pad value
-    # is FINITE (-1e30, not -inf): padded lanes flow through the stage-2
-    # affine rescale below, where a stopped row's A == 0 would turn
-    # 0 * -inf into NaN and poison the top-k. -1e30 keeps every pad lane
-    # strictly below any real candidate in both stages, and makes its
-    # exp() term exactly 0 in the logsumexp pass. When the caller
-    # pre-padded the lm_head (real_vocab set), the mask is an iota compare
-    # fused into both reduction passes; otherwise an explicit pad
-    # materializes one vocab-sized copy.
-    if Vp == G * S:
-        lgf = jnp.where(jnp.arange(Vp) >= V, -1e30, lgf) if Vp > V else lgf
-        groups = lgf.reshape(B, K, G, S)
+
+    if logits.ndim == 3:
+        G, S = logits.shape[1], logits.shape[2]
+        assert real_vocab is not None, "grouped logits need real_vocab"
+        V = real_vocab
+        groups = logits.reshape(B, K, G, S)
     else:
-        assert Vp == V, "pre-padded logits must pad V to G*S exactly"
-        groups = jnp.pad(lgf, ((0, 0), (0, 0), (0, G * S - V)),
-                         constant_values=-1e30).reshape(B, K, G, S)
-    gmax = jnp.max(groups, axis=-1)                           # [B, K, G]
+        Vp = logits.shape[-1]
+        V = Vp if real_vocab is None else real_vocab
+        lg = logits.reshape(B, K, Vp)
+        if V <= 4096:
+            # direct path (tiny/test vocabs): materialize the average-score
+            # tensor as the reference does
+            logp = jax.nn.log_softmax(lg.astype(jnp.float32) / temperature,
+                                      axis=-1)
+            # arithmetic blend, not jnp.where: XLA materializes the where's
+            # [B, K*V] pred broadcast as a separate op in the decode loop
+            stopped_row = jnp.full((V,), _NEG_INF, jnp.float32).at[0].set(0.0)
+            m = is_stopped[..., None].astype(jnp.float32)
+            logp = logp * (1.0 - m) + stopped_row * m
+            avg = (scores[..., None] + logp) / new_len[..., None]
+            top_avg, flat = _topk_argmax(avg.reshape(B, -1), K)
+            src = flat // V
+            nxt = (flat % V).astype(jnp.int32)
+            return top_avg, src, nxt, new_len
+        S = _group_size(V)
+        G = -(-V // S)                                        # ragged last group
+        if Vp == G * S:
+            groups = lg.reshape(B, K, G, S)
+        else:
+            assert Vp == V, "pre-padded logits must pad V to G*S exactly"
+            groups = jnp.pad(lg, ((0, 0), (0, 0), (0, G * S - V))
+                             ).reshape(B, K, G, S)
+
+    # Pad-lane mask, fused into both reduction passes (the mask value is
+    # FINITE -1e30, not -inf: padded lanes flow through the stage-2 affine
+    # rescale below, where a stopped row's A == 0 would turn 0 * -inf into
+    # NaN and poison the top-k; exp((-1e30 - rowmax) * inv_t) is exactly 0
+    # in the logsumexp pass).
+    if G * S > V:
+        pad_lane = (jnp.arange(G)[:, None] * S + jnp.arange(S)) >= V  # [G, S]
+        gf = jnp.where(pad_lane, -1e30, groups.astype(jnp.float32))
+    else:
+        gf = groups.astype(jnp.float32)
+    # pass 1: per-group maxima (also yields the row max for free)
+    gmax = jnp.max(gf, axis=-1)                               # [B, K, G]
     rowmax = jnp.max(gmax, axis=-1)                           # [B, K]
-    # pass 2: stabilized logsumexp of logits / temp (pad lanes contribute
-    # exp((-1e30 - rowmax) * inv_t) == 0 exactly)
-    se = jnp.sum(jnp.exp((lgf - rowmax[..., None]) * inv_t), axis=-1)
+    # pass 2: stabilized logsumexp of logits / temp
+    se = jnp.sum(jnp.exp((gf - rowmax[..., None, None]) * inv_t),
+                 axis=(-2, -1))
     lse = rowmax * inv_t + jnp.log(se)
     # per-row affine ranking scalars: avg = A*logit + Bc, except that a
     # stopped row's token 0 is the EXACT value scores/new_len (an override,
@@ -154,7 +172,7 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
     Bc = jnp.where(is_stopped, (scores + _NEG_INF) / new_len,
                    (scores - lse) / new_len)
     tok0 = jnp.where(is_stopped, scores / new_len,
-                     A * lgf[..., 0] + Bc)                    # [B, K]
+                     A * gf[..., 0, 0] + Bc)                  # [B, K]
     gavg = A[..., None] * gmax + Bc[..., None]                # [B, K, G]
     gavg = gavg.at[..., 0].max(tok0)
     _, gflat = _topk_argmax(gavg.reshape(B, K * G), K)        # distinct groups
@@ -162,26 +180,30 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
     gsel = gflat % G
     # gather the K winning groups as whole S-wide lanes with ONE one-hot
     # contraction over the [B, K*G, S] view — a batched matmul XLA streams
-    # in the logits' native layout (exact: each output lane sums one
-    # 1.0 x value product plus true zeros). Three rejected alternatives,
-    # all measured on v5e: take_along_axis (two 39 MB layout copies around
+    # in the logits' native layout and dtype (exact: each output lane sums
+    # one 1.0 x value product plus true zeros; fp32 accumulation upcasts
+    # the gathered values losslessly). Three rejected alternatives, all
+    # measured on v5e: take_along_axis (two 39 MB layout copies around
     # the gather, profiled round 3), a scalar element gather over [B, K*V]
     # (~1 ms/step), and a vmapped dynamic_slice over (row, start) pairs —
     # lowered to a B*K-iteration while loop whose per-op transport
-    # bookkeeping on the axon tunnel cost ~100x the device time. Pad lanes
-    # carry -1e30 and can never enter the top-k (each selected group
-    # contributes at least one real lane >= its max).
-    sel1h = jax.nn.one_hot(gflat, K * G, dtype=jnp.float32)   # [B, K, K*G]
+    # bookkeeping on the axon tunnel cost ~100x the device time.
+    sel1h = jax.nn.one_hot(gflat, K * G, dtype=groups.dtype)  # [B, K, K*G]
     vals_raw = jax.lax.dot_general(
         sel1h, groups.reshape(B, K * G, S),
         (((2,), (1,)), ((0,), (0,))),
-    )                                                         # [B, K, S]
+        preferred_element_type=jnp.float32,
+    )                                                         # [B, K, S] f32
     off = gsel[..., None] * S + jnp.arange(S)                 # within-row pos
     Ag = jnp.take_along_axis(A, ksrc, axis=1)
     Bg = jnp.take_along_axis(Bc, ksrc, axis=1)
     t0g = jnp.take_along_axis(tok0, ksrc, axis=1)
     vals = Ag[..., None] * vals_raw + Bg[..., None]
     vals = jnp.where(off == 0, t0g[..., None], vals)
+    # pad lanes came through the gather as raw 0 logits — mask them here,
+    # on the tiny candidate matrix, instead of materializing a masked copy
+    # of the vocab-sized buffer for the dot operand
+    vals = jnp.where(off >= V, -1e30, vals)
     top_avg, pos = _topk_argmax(vals.reshape(B, K * S), K)
     flat = jnp.take_along_axis(
         (ksrc[..., None] * V + off).reshape(B, K * S), pos, axis=1)
@@ -308,14 +330,20 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T)
     )
 
-    # vocab padding for the two-stage select: the in-loop lm_head emits
-    # G*S-lane logits so the select's group reshape needs no pad copy
+    # grouped in-loop lm_head: emits [B*K, G, S] logits so every view the
+    # two-stage select reads is a free reshape of one tiled buffer. The
+    # padded [G, S, C] weight is built HERE, outside the while loops —
+    # XLA does not hoist the 39 MB pad out of the body (measured).
     V = logits1.shape[-1]
     if V > 4096:
+        from zs_aac_tpu.models.gpt2 import prepare_grouped_lm_head
+
         S = _group_size(V)
-        n_pad = -(-V // S) * S - V
+        vgroup = (-(-V // S), S)
+        params = dict(params)
+        params["wte_g"] = prepare_grouped_lm_head(params, *vgroup)
     else:
-        n_pad = 0
+        vgroup = None
 
     # score accumulation is fp32 regardless of the model compute dtype
     logp0 = jax.nn.log_softmax(
@@ -332,7 +360,7 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
         logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1,
-                                  pad_vocab=n_pad)
+                                  vocab_group=vgroup)
         top_avg, src, nxt, new_len = _beam_select(
             logits, scores, seq_lengths, is_stopped, temperature, B, K,
             real_vocab=V)

@@ -125,25 +125,60 @@ def _logits(x, params):
     return x @ params["wte"].T
 
 
-def _logits_padded(x, params, n_pad: int):
-    """``_logits`` with the vocab axis zero-padded by ``n_pad`` rows
-    (pad lanes emit logit 0 — consumers mask them). Lets vocab-pass
-    consumers (the beam's two-stage top-k, ``decoding/beam.py``) reshape
-    the logits into uniform lane groups without the materialized pad copy
-    + two 39 MB layout copies XLA otherwise inserts per decode step
-    (round-3 profile). The padded weight is loop-invariant, so XLA hoists
-    its construction out of the decode while_loop."""
-    if n_pad == 0:
-        return _logits(x, params)
+def prepare_grouped_lm_head(params, G: int, S: int) -> dict:
+    """Pad + reshape the lm_head weight (and its scale) to ``[G, S, C]`` /
+    ``[G, S]`` ONCE, before the decode loop. XLA does NOT hoist the 39 MB
+    weight pad out of a while body on its own — left inline it re-padded
+    the int8 weight every decode step (116 us/step plus ~150 us of copies,
+    round-3 profile). Returns {"w", "scale"|"scale_a8"} (quantized trees)
+    or {"w"} (float), consumed by ``_logits_grouped``."""
+    V = (params["wte_q"]["w"] if "wte_q" in params else params["wte"]).shape[0]
+    n_pad = G * S - V
+    assert n_pad >= 0, (G, S, V)
+    pad_rows = ((0, n_pad), (0, 0))
     if "wte_q" in params:
         q = params["wte_q"]
-        w = jnp.pad(q["w"], ((0, n_pad), (0, 0)))
-        if "scale_a8" in q:
-            s = jnp.pad(q["scale_a8"], (0, n_pad), constant_values=1.0)
-            return _int8_dot(x, w, s, x.dtype, w_contract_dim=1)
-        s = jnp.pad(q["scale"], (0, n_pad), constant_values=1.0)
-        return (x @ w.T.astype(x.dtype)) * s.astype(x.dtype)
-    return x @ jnp.pad(params["wte"], ((0, n_pad), (0, 0))).T
+        out = {"w": jnp.pad(q["w"], pad_rows).reshape(G, S, -1)}
+        skey = "scale_a8" if "scale_a8" in q else "scale"
+        out[skey] = jnp.pad(q[skey], (0, n_pad),
+                            constant_values=1.0).reshape(G, S)
+        return out
+    return {"w": jnp.pad(params["wte"], pad_rows).reshape(G, S, -1)}
+
+
+def _logits_grouped(x, params, G: int, S: int):
+    """lm_head emitting GROUP-SHAPED logits ``[N, G, S]`` (``G*S >= V``;
+    pad lanes emit logit 0 — consumers mask them) in ONE dot against the
+    vocab weight reshaped ``[G, S, C]``.
+
+    Why the shape matters: the beam's two-stage top-k
+    (``decoding/beam.py::_beam_select``) reads the per-step logits twice —
+    once as ``[B, K, G, S]`` lane groups and once row-flat. When the
+    lm_head emits flat ``[N, V]`` logits, XLA materializes a separate
+    RETILED copy of the 39 MB fp32 buffer for each view (121 + 51 us per
+    decode step at B*K=192, round-3 profile — pure relayout traffic).
+    Emitting the grouped shape natively makes every consumer view a free
+    reshape of the SAME tiled buffer, and the bf16 output halves the
+    buffer the select's reduction passes stream (the w8a8 path already
+    rounded logits through bf16 — ``_int8_dot``'s out_dtype — so values
+    are bit-identical to the flat path). Callers inside a decode loop
+    must pass a pre-built ``params["wte_g"] = prepare_grouped_lm_head(...)``
+    (see that docstring for why)."""
+    g = params.get("wte_g") or prepare_grouped_lm_head(params, G, S)
+    w = g["w"]
+    if "scale_a8" in g:
+        xq, sx = _quant_act(x)
+        y = jax.lax.dot_general(
+            xq, w, (((x.ndim - 1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * sx[..., None] * g["scale_a8"]
+                ).astype(x.dtype)
+    y = jax.lax.dot_general(x, w.astype(x.dtype),
+                            (((x.ndim - 1,), (2,)), ((), ())))
+    if "scale" in g:
+        y = y * g["scale"].astype(x.dtype)
+    return y
 
 
 def _split_heads(x, n_head):
@@ -357,7 +392,7 @@ def _beam_head_masks(H: int, K: int, C: int, dtype):
 
 
 def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index,
-                      pad_vocab: int = 0):
+                      vocab_group=None):
     """``gpt2_step_beam`` over the int8 KV cache (+ per-vector scales):
     halves the dominant HBM stream of batched beam decode. Dequantization is
     folded into the attention contractions; cache layout/ancestry semantics
@@ -421,7 +456,10 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index,
         x = x + _mm(h, blk["mlp"]["c_proj"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = _logits_padded(x, params, pad_vocab)[:, 0].astype(jnp.float32)
+    if vocab_group is not None:
+        logits = _logits_grouped(x[:, 0], params, *vocab_group)
+    else:
+        logits = _logits(x, params)[:, 0].astype(jnp.float32)
     return logits, tuple(new_cache), anc
 
 
@@ -607,7 +645,7 @@ def init_beam_cache(cfg: GPT2Config, prefill_cache, beam_size: int):
 
 
 def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
-                   return_hidden=False, pad_vocab: int = 0):
+                   return_hidden=False, vocab_group=None):
     """One cached decode step for ``B`` clips x ``K`` beams with an
     **ancestry-indirected** cache read (no per-step cache reorder).
 
@@ -705,7 +743,10 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
         x = x + _mm(h, blk["mlp"]["c_proj"])
 
     x = _ln(x, params["ln_f"], cfg.layer_norm_epsilon)
-    logits = _logits_padded(x, params, pad_vocab)[:, 0].astype(jnp.float32)
+    if vocab_group is not None:
+        logits = _logits_grouped(x[:, 0], params, *vocab_group)
+    else:
+        logits = _logits(x, params)[:, 0].astype(jnp.float32)
     if return_hidden:
         return logits, tuple(new_cache), anc, x[:, 0]
     return logits, tuple(new_cache), anc
