@@ -110,8 +110,11 @@ def test_eval_prediction_end_to_end():
     out = eval_prediction(key2refs, key2pred)
     assert out["Bleu"][0] > 0.8
     assert out["CIDEr"] > 0
-    assert out["SPIDEr_approx"] is True  # no Java stack in this env
-    assert out["SPIDEr"] == out["CIDEr"] / 2
+    # no Java stack in this env -> pure-Python SPICE fallback, flagged
+    assert out["SPICE_approx"] is True
+    assert out["SPIDEr_approx"] is True
+    assert out["SPICE"] is not None and out["SPICE"] > 0
+    assert out["SPIDEr"] == (out["CIDEr"] + out["SPICE"]) / 2
 
 
 # ---------------------------------------------------------------------------

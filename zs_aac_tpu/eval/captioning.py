@@ -14,9 +14,12 @@ no JVM, so the scorers are reimplemented from their published algorithms:
 - METEOR: the Java jar is used when ``pycocoevalcap`` is importable;
   otherwise the pure-Python reimplementation in ``zs_aac_tpu/eval/meteor.py``
   (exact+stem+injectable-synonym alignment, NLTK-golden-tested) computes it.
-- SPICE requires the Java scene-graph parser and stays a documented Java
-  passthrough; without it SPICE is ``None`` and SPIDEr falls back to
-  CIDEr/2 with a flag in the output.
+- SPICE: the Java scene-graph parser is used when ``pycocoevalcap`` is
+  importable; otherwise the pure-Python reimplementation in
+  ``zs_aac_tpu/eval/spice.py`` (rule tagger + chunk scene graph +
+  bipartite tuple F1, documented deviations) computes it, and
+  ``SPICE_approx`` is flagged true in the output so downstream consumers
+  know the number came from the approximate chunk grammar.
 
 ``eval_prediction(key2refs, key2pred, metrics)`` mirrors the reference's
 entry point shape.
@@ -237,12 +240,22 @@ def eval_prediction(
 
         meteor = meteor_corpus(refs, hyps)
     out["METEOR"] = meteor
+    spice_approx = False
+    if spice is None and "SPICE" in metrics:
+        # pure-Python SPICE (rule tagger + chunk scene graph + bipartite
+        # tuple F1) — see zs_aac_tpu/eval/spice.py for the documented
+        # deviations from the Java CoreNLP stack
+        from zs_aac_tpu.eval.spice import spice_corpus
+
+        spice = spice_corpus(refs, hyps)
+        spice_approx = True
     out["SPICE"] = spice
+    out["SPICE_approx"] = spice_approx
 
     if "CIDEr" in out:
         if spice is not None:
             out["SPIDEr"] = (out["CIDEr"] + spice) / 2
-            out["SPIDEr_approx"] = False
+            out["SPIDEr_approx"] = spice_approx
         else:
             out["SPIDEr"] = out["CIDEr"] / 2
             out["SPIDEr_approx"] = True

@@ -238,7 +238,8 @@ def main(argv=None):
             f.write("SPICE: {:6.4f}\n".format(scores["SPICE"]))
         f.write("SPIDEr: {:6.4f}\n".format(scores["SPIDEr"]))
         if scores.get("SPIDEr_approx"):
-            f.write("# SPIDEr approximated as CIDEr/2 (no Java SPICE stack)\n")
+            f.write("# SPICE/SPIDEr from the pure-Python scene-graph scorer "
+                    "(no Java SPICE stack)\n")
 
     pred_data = [
         {"filename": k, "caption": "".join(v[0]), "prefix": "".join(key2prefix[k][0])}
