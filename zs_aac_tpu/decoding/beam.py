@@ -147,20 +147,35 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
             groups = jnp.pad(lg, ((0, 0), (0, 0), (0, G * S - V))
                              ).reshape(B, K, G, S)
 
-    # Pad-lane mask, fused into both reduction passes (the mask value is
-    # FINITE -1e30, not -inf: padded lanes flow through the stage-2 affine
-    # rescale below, where a stopped row's A == 0 would turn 0 * -inf into
-    # NaN and poison the top-k; exp((-1e30 - rowmax) * inv_t) is exactly 0
-    # in the logsumexp pass).
+    # The two vocab-sized reduction passes each fold their OWN convert (and
+    # pad-lane mask) into the reduce fusion. A shared pre-masked f32 ``gf``
+    # read by both passes (and tok0) made XLA materialize a full-vocab f32
+    # copy of the logits every step — 156 MB / ~300 us at B=256, the
+    # single hottest op in the beam profile (round 3).
+    #
+    # pass 1: per-group maxima, reduced in the logits' own dtype — max
+    # commutes with the exact bf16->f32 convert, so converting the [B,K,G]
+    # result is bit-identical to converting first. Pad lanes (logit 0 from
+    # the grouped head) live only in the ragged LAST group; fix that one
+    # group's max on its small [B, K, S] slice. The mask value is FINITE
+    # -1e30, not -inf: padded lanes flow through the stage-2 affine rescale
+    # below, where a stopped row's A == 0 would turn 0 * -inf into NaN and
+    # poison the top-k; exp((-1e30 - rowmax) * inv_t) is exactly 0 in the
+    # logsumexp pass.
+    gmax = jnp.max(groups, axis=-1).astype(jnp.float32)       # [B, K, G]
+    if G * S > V:
+        last_lane = (G - 1) * S + jnp.arange(S)               # [S]
+        last = jnp.where(last_lane >= V, -1e30,
+                         groups[..., G - 1, :].astype(jnp.float32))
+        gmax = gmax.at[..., G - 1].set(jnp.max(last, axis=-1))
+    rowmax = jnp.max(gmax, axis=-1)                           # [B, K]
+    # pass 2: stabilized logsumexp of logits / temp (single-consumer
+    # convert+mask -> fuses into the reduction, no f32 materialization)
     if G * S > V:
         pad_lane = (jnp.arange(G)[:, None] * S + jnp.arange(S)) >= V  # [G, S]
         gf = jnp.where(pad_lane, -1e30, groups.astype(jnp.float32))
     else:
         gf = groups.astype(jnp.float32)
-    # pass 1: per-group maxima (also yields the row max for free)
-    gmax = jnp.max(gf, axis=-1)                               # [B, K, G]
-    rowmax = jnp.max(gmax, axis=-1)                           # [B, K]
-    # pass 2: stabilized logsumexp of logits / temp
     se = jnp.sum(jnp.exp((gf - rowmax[..., None, None]) * inv_t),
                  axis=(-2, -1))
     lse = rowmax * inv_t + jnp.log(se)
@@ -171,8 +186,11 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
     A = jnp.where(is_stopped, 0.0, inv_t / new_len)
     Bc = jnp.where(is_stopped, (scores + _NEG_INF) / new_len,
                    (scores - lse) / new_len)
+    # read token 0's logit off the RAW buffer (never a pad lane) — a read
+    # of ``gf`` here would give the masked f32 tensor a second consumer
+    # and re-materialize it
     tok0 = jnp.where(is_stopped, scores / new_len,
-                     A * gf[..., 0, 0] + Bc)                  # [B, K]
+                     A * groups[..., 0, 0].astype(jnp.float32) + Bc)  # [B, K]
     gavg = A[..., None] * gmax + Bc[..., None]                # [B, K, G]
     gavg = gavg.at[..., 0].max(tok0)
     _, gflat = _topk_argmax(gavg.reshape(B, K * G), K)        # distinct groups
@@ -188,10 +206,18 @@ def _beam_select(logits, scores, seq_lengths, is_stopped, temperature, B, K,
     # (~1 ms/step), and a vmapped dynamic_slice over (row, start) pairs —
     # lowered to a B*K-iteration while loop whose per-op transport
     # bookkeeping on the axon tunnel cost ~100x the device time.
-    sel1h = jax.nn.one_hot(gflat, K * G, dtype=groups.dtype)  # [B, K, K*G]
+    # 4-D one-hot, contracting (source row, group) as two separate dims of
+    # the dot_general — the [B, K*G, S] merged view needed a retile copy of
+    # the whole logits buffer every step (the 4-D view is a free bitcast,
+    # round-3 profile; same trick as the beam cache's (r, t) dims). Exact:
+    # one 1.0 x value product per output lane plus true zeros.
+    sel_k = jnp.arange(K, dtype=ksrc.dtype) == ksrc[..., None]   # [B, K, K']
+    sel_g = jnp.arange(G, dtype=gsel.dtype) == gsel[..., None]   # [B, K, G]
+    sel1h = (sel_k[..., :, None] & sel_g[..., None, :]
+             ).astype(groups.dtype)                           # [B, K, K', G]
     vals_raw = jax.lax.dot_general(
-        sel1h, groups.reshape(B, K * G, S),
-        (((2,), (1,)), ((0,), (0,))),
+        sel1h, groups,
+        (((2, 3), (1, 2)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                         # [B, K, S] f32
     off = gsel[..., None] * S + jnp.arange(S)                 # within-row pos

@@ -368,16 +368,20 @@ def init_beam_cache_q8(cfg: GPT2Config, prefill_cache_q8, beam_size: int):
 
 
 def _beam_sel_bias(anc, K: int, T: int, index):
-    """Ancestry as an additive attention bias over the flattened (row,
-    time) axis: 0 where physical row ``r`` holds logical beam ``j``'s K/V
-    at time ``t`` (``anc[b, j, t] == r`` and ``t <= index``), else -1e9.
-    Built once per decode step and shared by every layer (broadcast over
-    heads). Returns [B, 1, K, K*T] fp32."""
-    B = anc.shape[0]
+    """Ancestry as an additive attention bias over the (row, time) axes:
+    0 where physical row ``r`` holds logical beam ``j``'s K/V at time ``t``
+    (``anc[b, j, t] == r`` and ``t <= index``), else -1e9. Built once per
+    decode step and shared by every layer, COMPACT: [B, 1, K, K, T] fp32,
+    broadcast over heads inside each layer's softmax fusion. (A per-step
+    pre-tile over heads reads H x the bytes from every layer's fusion —
+    ~190 MB/step at B=256, measured regression.) Consumers split the
+    score's M=H*K axis with a free major-dim reshape; only minor-dim
+    (K, T) merges like the old [B,H,K,K*T] flatten re-tile and forced a
+    materialized copy of score/prob tensors per layer (profiled)."""
     sel = anc[:, :, None, :] == jnp.arange(K, dtype=anc.dtype)[None, None, :, None]
     valid = (jnp.arange(T) <= index)[None, None, None]
     bias = jnp.where(sel & valid, 0.0, -1e9).astype(jnp.float32)  # [B,Kj,Kr,T]
-    return bias.reshape(B, 1, K, K * T)
+    return bias[:, None]
 
 
 def _beam_head_masks(H: int, K: int, C: int, dtype):
@@ -408,7 +412,7 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index,
     x = (x_embed + params["wpe"][index])[:, None]
 
     anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
-    bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K*T], per step
+    bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K, T], per step
     mask_mc, mask_hc = _beam_head_masks(H, K, C, x.dtype)
 
     new_cache = []
@@ -437,11 +441,18 @@ def gpt2_step_beam_q8(params, cfg: GPT2Config, x_embed, cache, anc, index,
         s = jax.lax.dot_general(
             q_all, ck.astype(x.dtype),
             (((2,), (3,)), ((0,), (0,))),
-        ).reshape(B, H, K, K, T)                       # [B, M, K, T] view
-        s = s * sk[:, :, None].astype(x.dtype) * float(1.0 / np.sqrt(d))
-        att = jax.nn.softmax(
-            s.reshape(B, H, K, K * T).astype(jnp.float32) + bias, axis=-1
-        ).astype(x.dtype).reshape(B, H, K, K, T)
+        )                                              # [B, M, K, T]
+        # Attention glue between the two dots: the M=H*K axis splits to
+        # (H, K) with a FREE major-dim reshape (scales/bias broadcast over
+        # it compactly) and the softmax reduces the two trailing (row,
+        # time) axes directly — the old [B,H,K,K*T] flatten merged the
+        # tile-padded minor dims and materialized a retile copy of the
+        # score AND prob tensors every layer (profiled ~16 MB/step, B=64).
+        s = s.reshape(B, H, K, K, T) * sk[:, :, None].astype(x.dtype) \
+            * float(1.0 / np.sqrt(d))
+        sf = s.astype(jnp.float32) + bias
+        att = jnp.exp(sf - jnp.max(sf, axis=(3, 4), keepdims=True))
+        att = (att / jnp.sum(att, axis=(3, 4), keepdims=True)).astype(x.dtype)
         att = att * sv[:, :, None].astype(x.dtype)
         o_all = jax.lax.dot_general(
             att.reshape(B, M, K, T), cv.astype(x.dtype),
@@ -702,7 +713,7 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
     x = (x_embed + params["wpe"][index])[:, None]  # [B*K, 1, D]
 
     anc = anc.at[:, :, index].set(jnp.arange(K, dtype=anc.dtype)[None])
-    bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K*T], per step
+    bias = _beam_sel_bias(anc, K, T, index)  # [B, 1, K, K, T], per step
     mask_mc, mask_hc = _beam_head_masks(H, K, C, x.dtype)
 
     new_cache = []
@@ -727,9 +738,13 @@ def gpt2_step_beam(params, cfg: GPT2Config, x_embed, cache, anc, index,
             q_all, ck.astype(x.dtype),
             (((2,), (3,)), ((0,), (0,))),
         )                                              # [B, M, K, T]
-        att = jax.nn.softmax(
-            s.reshape(B, H, K, K * T).astype(jnp.float32) + bias, axis=-1
-        ).astype(x.dtype)
+        # two-axis softmax over (row, time) with a free major-dim head
+        # split — see gpt2_step_beam_q8: a [B,H,K,K*T] flatten merges
+        # tile-padded minor dims and forces a retile copy of the score and
+        # prob tensors every layer
+        sf = s.reshape(B, H, K, K, T).astype(jnp.float32) + bias
+        att = jnp.exp(sf - jnp.max(sf, axis=(3, 4), keepdims=True))
+        att = (att / jnp.sum(att, axis=(3, 4), keepdims=True)).astype(x.dtype)
         o_all = jax.lax.dot_general(
             att.reshape(B, M, K, T), cv.astype(x.dtype),
             (((2, 3), (1, 2)), ((0,), (0,))),
