@@ -73,8 +73,16 @@ def _ln(x, p, eps):
 
 
 def _quant_act(x):
-    """Dynamic per-row symmetric int8 activation quantization."""
-    sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    """Dynamic per-row symmetric int8 activation quantization.
+
+    The abs-max reduces in ``x``'s own dtype and converts the [.., 1]
+    result — bitwise-identical to reducing in f32 (abs, max and the
+    bf16->f32 convert are all exact) — leaving ``x.astype(f32)`` a single
+    consumer (the round/clip) so the convert always fuses into the int8
+    quantize. (Note: the f32[B,1,C] copies in the greedy decode profile
+    are the cache-append relayout of fresh K/V into the stacked cache's
+    layout, NOT this convert — verified by HLO census before/after.)"""
+    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
     sx = jnp.maximum(sx, 1e-8)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     return xq, sx
