@@ -42,9 +42,21 @@ def _text(k, rng):
 
 
 def test_contrastive_training_learns_retrieval():
+    _run_contrastive_learning(jnp.float32)
+
+
+def test_contrastive_training_learns_retrieval_bf16():
+    # bf16 compute (``compute_dtype: bfloat16`` in pretrain.yaml, the TPU
+    # fast path: 366 -> 778 samples/s Cnn14 / 295 -> 461 HTSAT measured on
+    # v5e) must converge the same way — params/optimizer state stay fp32,
+    # only activations run bf16
+    _run_contrastive_learning(jnp.bfloat16)
+
+
+def _run_contrastive_learning(dtype):
     cfg = ASEConfig(embed_size=16, audio_channels=(4, 8),
                     text_model="prajjwal1/bert-tiny", spec_augmentation=False,
-                    embed_regularization=False)
+                    embed_regularization=False, dtype=dtype)
     ase = ASE(cfg)
     steps = 120
     opt = get_optimizer(cosine_lr(2e-3, 10, steps), "adam")

@@ -148,9 +148,17 @@ def _kernel(x_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, proj_b_ref, bias_ref,
 
 def _pick_rows(nH: int, nW: int, N: int, C: int, num_heads: int,
                itemsize: int) -> int:
-    """Largest divisor of nH whose dominant VMEM buffers fit ~10 MB
+    """Largest divisor of nH whose dominant VMEM buffers fit the budget
     (the in/out x-slabs are small; intermediates dominate — profiled
-    per-instance overhead ~5.6 us makes fewer, fatter instances win)."""
+    per-instance overhead ~5.6 us makes fewer, fatter instances win).
+
+    Budget: the estimate below undercounts Mosaic's true scoped-vmem stack
+    by ~1.8x (fused qkv intermediate is 3x the counted q_all, operands are
+    double-buffered under parallel grid semantics, plus transient op
+    stack) — measured: HTSAT stage-0 (nH=nW=8, N=64, C=96, h=4, bf16)
+    estimates 9.4 MB at rows=4 but allocates 17.08 MB scoped against the
+    16 MB limit and FAILS TO COMPILE at B=64. 8 MB keeps the real trunk
+    shapes' estimates x1.9 under the hardware limit."""
     for rows in range(nH, 0, -1):
         if nH % rows:
             continue
@@ -159,7 +167,7 @@ def _pick_rows(nH: int, nW: int, N: int, C: int, num_heads: int,
         s = nWin * num_heads * N * N * 4
         o_all = nWin * num_heads * N * C * itemsize
         bias = s
-        if q_all + 2 * s + o_all + bias < 10 * 1024 * 1024:
+        if q_all + 2 * s + o_all + bias < 8 * 1024 * 1024:
             return rows
     return 1
 
