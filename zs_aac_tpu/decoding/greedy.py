@@ -51,21 +51,23 @@ def _segment_bounds(entry_length: int, segments) -> tuple:
     return tuple(sorted(set(b))) + (entry_length,)
 
 
-def _grow_cache(cache, new_len: int):
-    """Pad every cache leaf's position axis (axis 3 in all cache layouts:
-    [L, B, H, T, d] k/v and [L, B, H, T] scales) out to ``new_len`` with
-    zeros — exact, because positions beyond the write index are masked to
-    -1e9 before the softmax and zero lanes contribute exactly 0."""
+def _grow_cache(cache, new_len: int, pos_axis: int = 3):
+    """Pad every cache leaf's position axis out to ``new_len`` with zeros —
+    exact, because positions beyond the write index are masked to -1e9
+    before the softmax and zero lanes contribute exactly 0. ``pos_axis`` is
+    3 for the GPT-2 layouts ([L, B, H, T, d] k/v, [L, B, H, T] scales) and
+    2 for Mistral's per-layer [B, KV, T, d] leaves."""
 
     def pad(x):
         p = [(0, 0)] * x.ndim
-        p[3] = (0, new_len - x.shape[3])
+        p[pos_axis] = (0, new_len - x.shape[pos_axis])
         return jnp.pad(x, p)
 
     return jax.tree.map(pad, cache)
 
 
-def _staged_decode(body, init_state, entry_length: int, prompt_len: int, segments):
+def _staged_decode(body, init_state, entry_length: int, prompt_len: int, segments,
+                   pos_axis: int = 3):
     """Run ``body`` as consecutive while_loops over a growing KV cache.
 
     ``init_state`` is ``(i, tokens, cache, finished, cur, lengths)`` with the
@@ -77,8 +79,8 @@ def _staged_decode(body, init_state, entry_length: int, prompt_len: int, segment
     for end in _segment_bounds(entry_length, segments):
         i, tokens, cache, finished, cur, lengths = state
         need = prompt_len + end
-        if cache and jax.tree.leaves(cache)[0].shape[3] < need:
-            cache = _grow_cache(cache, need)
+        if cache and jax.tree.leaves(cache)[0].shape[pos_axis] < need:
+            cache = _grow_cache(cache, need, pos_axis)
         state = (i, tokens, cache, finished, cur, lengths)
 
         def cond(state, _end=end):

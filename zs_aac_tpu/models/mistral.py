@@ -142,8 +142,9 @@ def quantize_mistral_int8(params: dict, mode: str = "w8") -> dict:
     }
 
 
-def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale,
-               cache_kv=None, cache_index=None):
+def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale):
+    """Full-sequence (forward/prefill) attention; the decode step uses the
+    grouped in-place-cache formulation inlined in ``mistral_step``."""
     B, L, D = x.shape
     H, KV, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     q = _lora_matmul(x, p["wq"], lora.get("wq") if lora else None, scale)
@@ -154,15 +155,7 @@ def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale,
     v = v.reshape(B, L, KV, d).transpose(0, 2, 1, 3)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
-
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k, cache_index, axis=2)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v, cache_index, axis=2)
-        k, v = ck, cv
-        new_cache = (ck, cv)
-    else:
-        new_cache = (k, v)
+    new_cache = (k, v)
 
     rep = H // KV
     k = jnp.repeat(k, rep, axis=1)
@@ -225,6 +218,14 @@ def mistral_forward(params, cfg: MistralConfig, inputs_embeds,
 
 def init_mistral_cache(cfg: MistralConfig, batch: int, max_len: int,
                        dtype=jnp.bfloat16):
+    """Preallocated cache: k/v stacked over layers, [L, B, KV, T, d],
+    updated in place per layer inside ``mistral_step``.
+
+    Measured A/B at 7B/B=64 on v5e (w8a8, 60-step greedy): stacked
+    in-place 12.80 ms/step vs per-layer whole-buffer leaves 13.19-13.20 —
+    the OPPOSITE of the GPT-2 beam-cache lesson; with one query row per
+    step XLA aliases the stacked scatters fine and the per-layer pytree
+    only adds carry-tuple overhead. Keep ablating empirically per model."""
     d = cfg.head_dim
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, d)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
@@ -259,33 +260,67 @@ def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None)
 
 
 def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
-    """One cached decode step. x_embed: [B, D]."""
+    """One cached decode step. x_embed: [B, D].
+
+    Decode-bandwidth notes (the 7B-serving roofline items, BASELINE.md):
+
+    - The stacked [L, B, KV, T, d] cache buffers are updated IN PLACE with
+      ``.at[i, :, :, index].set`` and read back as ``cache[i]`` — inside
+      the decode while_loop XLA aliases these scatters, so the O(GB)
+      cache is never copied per step. Measured A/B at 7B/B=64: the old
+      per-layer slice + ``jnp.stack`` rebuild 21.7 ms/step (full-cache
+      copies; trap documented at ``models.gpt2.gpt2_step``), per-layer
+      whole-buffer leaves 13.2, stacked in-place 12.8 (see
+      ``init_mistral_cache``).
+    - GQA attention is GROUPED, not repeated: the query's H=32 heads are
+      viewed as [KV=8 groups, rep=4] and contracted directly against the
+      [B, KV, T, d] cache (``bgrd,bgtd->bgrt``). ``jnp.repeat`` on the
+      cache read materialized rep× the cache bytes per step (~2.5 GB/step
+      at B=64/7B) — the grouped dot reads each cache byte exactly once,
+      which is the point of the reference model's GQA
+      (``mistralai/Mistral-7B`` n_kv_heads=8).
+    """
     B, D = x_embed.shape
+    H, KV, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
     x = x_embed[:, None]
     positions = jnp.full((1,), index)
     T = cache["k"].shape[3]
-    kpos = jnp.arange(T)[None, :]
+    kpos = jnp.arange(T)
     ok = (kpos <= index) & (kpos > index - cfg.sliding_window)
-    bias = jnp.where(ok, 0.0, -1e9).astype(x.dtype)[None, None]
+    bias = jnp.where(ok, 0.0, -1e9)[None, None, None, :]  # [1,1,1,T] f32
     scale = _lora_scale(lora)
-    new_k, new_v = [], []
+    sqrt_d = np.float32(np.sqrt(d))
+
+    ck_all, cv_all = cache["k"], cache["v"]
+    cdtype = ck_all.dtype
     for i, p in enumerate(params["layers"]):
         ll = _lora_layer(lora, i)
+        a = p["attn"]
         h = _rms_norm(x, p["ln1"], cfg.rms_norm_eps)
-        a, (ck, cv) = _attention(
-            p["attn"], cfg, h, bias=bias, positions=positions, lora=ll,
-            scale=scale, cache_kv=(cache["k"][i], cache["v"][i]),
-            cache_index=index,
-        )
-        new_k.append(ck)
-        new_v.append(cv)
-        x = x + a
+        q = _lora_matmul(h, a["wq"], ll.get("wq") if ll else None, scale)
+        k = _lora_matmul(h, a["wk"], ll.get("wk") if ll else None, scale)
+        v = _lora_matmul(h, a["wv"], ll.get("wv") if ll else None, scale)
+        q = _rope(q.reshape(B, 1, H, d).transpose(0, 2, 1, 3), positions,
+                  cfg.rope_theta)
+        k = _rope(k.reshape(B, 1, KV, d).transpose(0, 2, 1, 3), positions,
+                  cfg.rope_theta)
+        ck_all = ck_all.at[i, :, :, index].set(k[:, :, 0].astype(cdtype))
+        cv_all = cv_all.at[i, :, :, index].set(
+            v.reshape(B, KV, d).astype(cdtype))
+        qg = q[:, :, 0].reshape(B, KV, rep, d)  # head h -> (g=h//rep, r=h%rep)
+        att = jnp.einsum("bgrd,bgtd->bgrt", qg, ck_all[i].astype(x.dtype))
+        att = att.astype(jnp.float32) / sqrt_d + bias
+        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bgrt,bgtd->bgrd", att, cv_all[i].astype(x.dtype))
+        o = o.reshape(B, 1, H * d)
+        x = x + _lora_matmul(o, a["wo"], ll.get("wo") if ll else None, scale)
         h = _rms_norm(x, p["ln2"], cfg.rms_norm_eps)
         x = x + _mlp(p["mlp"], h, ll, scale)
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_lora = lora.get("lm_head") if lora else None
     logits = _lora_matmul(x, params["lm_head"], head_lora, scale)[:, 0]
-    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, {"k": ck_all, "v": cv_all}
 
 
 # ---------------------------------------------------------------------------
