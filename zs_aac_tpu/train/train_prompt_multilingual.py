@@ -80,6 +80,7 @@ def _mistral_config(size: str, vocab_size: int):
 def run_multilingual_validation(params, ccfg, val_ds, tokenizer, key2refs,
                                 lang: str = "en", batch: int = 32):
     """Batched greedy decode with the language tag appended to the prompt."""
+    import jax
     import jax.numpy as jnp
 
     from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
@@ -87,6 +88,9 @@ def run_multilingual_validation(params, ccfg, val_ds, tokenizer, key2refs,
     from zs_aac_tpu.models.caption_mistral import mistral_caption_embeddings
 
     tag_ids = np.asarray(tokenizer.encode(LANG_TAGS[lang]), np.int64)
+    # jit the prompt assembly: eager flax apply on the TPU dispatches
+    # op-by-op through the remote tunnel (~40 ms per op on this host)
+    emb_fn = jax.jit(mistral_caption_embeddings, static_argnums=(1,))
     key2pred = {}
     items = [val_ds[i] for i in range(len(val_ds))]
     for s in range(0, len(items), batch):
@@ -99,7 +103,7 @@ def run_multilingual_validation(params, ccfg, val_ds, tokenizer, key2refs,
 
             hp, _ = padding_captions([it["hard_prompt"] for it in chunk])
             hp = jnp.asarray(hp)
-        emb = mistral_caption_embeddings(params, ccfg, prefix, hp, tags)
+        emb = emb_fn(params, ccfg, prefix, hp, tags)
         toks, lens = mistral_greedy_decode(
             params["mistral"], ccfg.mistral, emb, params["lora"], 60, 2
         )
