@@ -200,3 +200,39 @@ def test_quantized_mistral_matches_float():
     logits_lq = np.asarray(mistral_forward(qp, MCFG, emb, lora=lora))
     logits_q = np.asarray(mistral_forward(qp, MCFG, emb))
     np.testing.assert_allclose(logits_lq, logits_q, rtol=1e-5, atol=1e-5)
+
+
+def test_mistral_q8_cache_matches_float_cache():
+    """int8 KV cache (init_mistral_cache_q8): per-step logits stay close to
+    the float-cache path and greedy tokens agree — the gpt2 q8 scheme on
+    the grouped-GQA stacked layout."""
+    from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
+    from zs_aac_tpu.models.mistral import init_mistral_cache_q8
+
+    params = init_mistral(jax.random.key(0), MCFG, jnp.float32)
+    rng = np.random.default_rng(7)
+    prompt = jnp.asarray(
+        rng.standard_normal((2, 5, MCFG.hidden_size)).astype(np.float32) * 0.1)
+    tail = jnp.asarray(rng.integers(0, MCFG.vocab_size, (2, 4)))
+
+    cache_f = init_mistral_cache(MCFG, 2, 16, jnp.float32)
+    cache_q = init_mistral_cache_q8(MCFG, 2, 16)
+    logits_f, cache_f = mistral_prefill(params, MCFG, prompt, cache_f)
+    logits_q, cache_q = mistral_prefill(params, MCFG, prompt, cache_q)
+    # prefill logits don't touch the cache
+    np.testing.assert_allclose(np.asarray(logits_q), np.asarray(logits_f),
+                               rtol=1e-5, atol=1e-5)
+    denom = np.abs(np.asarray(logits_f)).max()
+    for t in range(4):
+        emb = mistral_embed(params, tail[:, t])
+        lf, cache_f = mistral_step(params, MCFG, emb, cache_f, jnp.asarray(5 + t))
+        lq, cache_q = mistral_step(params, MCFG, emb, cache_q, jnp.asarray(5 + t))
+        assert np.abs(np.asarray(lq) - np.asarray(lf)).max() / denom < 0.03
+    assert cache_q["k"].dtype == jnp.int8
+
+    # end-to-end greedy decode: emitted tokens agree
+    t_f, l_f = mistral_greedy_decode(params, MCFG, prompt, None, 12, 10**9)
+    t_q, l_q = mistral_greedy_decode(params, MCFG, prompt, None, 12, 10**9,
+                                     q8_cache=True)
+    agree = (np.asarray(t_f) == np.asarray(t_q)).mean()
+    assert agree >= 0.9, (agree, np.asarray(t_f), np.asarray(t_q))

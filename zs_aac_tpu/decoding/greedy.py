@@ -133,7 +133,8 @@ def greedy_decode(
     return tokens, lengths
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6),
+                   static_argnames=("q8_cache",))
 def mistral_greedy_decode(
     params: dict,
     cfg,                           # MistralConfig
@@ -142,6 +143,8 @@ def mistral_greedy_decode(
     max_new_tokens: int = 60,
     eos_token_id: int = 2,
     segments="auto",
+    *,
+    q8_cache: bool = False,
 ):
     """Batched greedy decode for the Mistral captioner — the reference's
     ``model.LMmodel.generate(do_sample=False, max_length=60, eos_token_id=2)``
@@ -149,9 +152,18 @@ def mistral_greedy_decode(
 
     Returns (tokens [B, max_new_tokens], lengths [B]); the EOS token itself
     is not emitted into ``tokens`` (HF skip_special_tokens semantics).
+
+    ``q8_cache`` serves over the int8 KV cache
+    (``models.mistral.init_mistral_cache_q8``): per-vector dequant scales
+    fold into the attention contractions. An approximate serving mode in
+    the same slack class as the w8a8 base quantization (quantified in
+    BASELINE.md: 7/8 identical captions on trained weights, 0.71 token
+    agreement worst-case on random weights); measured +2.5%/+4.5% at
+    7B B=64/128.
     """
     from zs_aac_tpu.models.mistral import (
         init_mistral_cache,
+        init_mistral_cache_q8,
         mistral_embed,
         mistral_prefill,
         mistral_step,
@@ -159,7 +171,10 @@ def mistral_greedy_decode(
 
     B, Lp, _ = prefix_embeds.shape
     bounds = _segment_bounds(max_new_tokens, segments)
-    cache = init_mistral_cache(cfg, B, Lp + bounds[0], prefix_embeds.dtype)
+    if q8_cache:
+        cache = init_mistral_cache_q8(cfg, B, Lp + bounds[0])
+    else:
+        cache = init_mistral_cache(cfg, B, Lp + bounds[0], prefix_embeds.dtype)
     logits, cache = mistral_prefill(params, cfg, prefix_embeds, cache, lora=lora)
     cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 

@@ -35,6 +35,7 @@ __all__ = [
     "mistral_embed",
     "mistral_forward",
     "init_mistral_cache",
+    "init_mistral_cache_q8",
     "mistral_prefill",
     "mistral_step",
     "quantize_mistral_int8",
@@ -231,6 +232,25 @@ def init_mistral_cache(cfg: MistralConfig, batch: int, max_len: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def init_mistral_cache_q8(cfg: MistralConfig, batch: int, max_len: int):
+    """int8 KV cache with per-(layer, batch, kv-head, pos) symmetric scales
+    — the ``models.gpt2.init_kv_cache_q8`` scheme on the stacked Mistral
+    layout. Halves the decode step's dominant HBM stream (cache reads; the
+    d=128 head dim fills int8 lane tiles exactly). ``mistral_prefill`` /
+    ``mistral_step`` dispatch on the ``k_scale`` key and fold the dequant
+    scales into the attention contractions, so no dequantized cache tensor
+    is ever materialized."""
+    d = cfg.head_dim
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, d)
+    sshape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, jnp.float32),
+        "v_scale": jnp.zeros(sshape, jnp.float32),
+    }
+
+
 def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None):
     B, L, D = inputs_embeds.shape
     x = inputs_embeds
@@ -252,6 +272,12 @@ def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None)
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_lora = lora.get("lm_head") if lora else None
     logits = _lora_matmul(x, params["lm_head"], head_lora, scale)
+    if "k_scale" in cache:  # int8 cache: quantize the prompt's K/V
+        from zs_aac_tpu.models.gpt2 import _quantize_vec
+
+        qk, sk = _quantize_vec(jnp.stack(ks).astype(jnp.float32))
+        qv, sv = _quantize_vec(jnp.stack(vs).astype(jnp.float32))
+        return logits, {"k": qk, "v": qv, "k_scale": sk, "v_scale": sv}
     cache = {
         "k": jnp.stack(ks).astype(cache["k"].dtype),
         "v": jnp.stack(vs).astype(cache["v"].dtype),
@@ -279,6 +305,10 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
       at B=64/7B) — the grouped dot reads each cache byte exactly once,
       which is the point of the reference model's GQA
       (``mistralai/Mistral-7B`` n_kv_heads=8).
+    - An int8 cache (``init_mistral_cache_q8``, detected by the
+      ``k_scale`` key) halves those reads again: per-vector scales are
+      folded into the score logits (k-scales) and the probabilities
+      (v-scales), exactly as ``models.gpt2.gpt2_step_q8``.
     """
     B, D = x_embed.shape
     H, KV, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -292,6 +322,11 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
     scale = _lora_scale(lora)
     sqrt_d = np.float32(np.sqrt(d))
 
+    q8 = "k_scale" in cache
+    if q8:
+        from zs_aac_tpu.models.gpt2 import _quantize_vec
+
+        sk_all, sv_all = cache["k_scale"], cache["v_scale"]
     ck_all, cv_all = cache["k"], cache["v"]
     cdtype = ck_all.dtype
     for i, p in enumerate(params["layers"]):
@@ -305,13 +340,26 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
                   cfg.rope_theta)
         k = _rope(k.reshape(B, 1, KV, d).transpose(0, 2, 1, 3), positions,
                   cfg.rope_theta)
-        ck_all = ck_all.at[i, :, :, index].set(k[:, :, 0].astype(cdtype))
-        cv_all = cv_all.at[i, :, :, index].set(
-            v.reshape(B, KV, d).astype(cdtype))
+        if q8:
+            qk_, sk_ = _quantize_vec(k[:, :, 0].astype(jnp.float32))
+            qv_, sv_ = _quantize_vec(v.reshape(B, KV, d).astype(jnp.float32))
+            ck_all = ck_all.at[i, :, :, index].set(qk_)
+            cv_all = cv_all.at[i, :, :, index].set(qv_)
+            sk_all = sk_all.at[i, :, :, index].set(sk_)
+            sv_all = sv_all.at[i, :, :, index].set(sv_)
+        else:
+            ck_all = ck_all.at[i, :, :, index].set(k[:, :, 0].astype(cdtype))
+            cv_all = cv_all.at[i, :, :, index].set(
+                v.reshape(B, KV, d).astype(cdtype))
         qg = q[:, :, 0].reshape(B, KV, rep, d)  # head h -> (g=h//rep, r=h%rep)
         att = jnp.einsum("bgrd,bgtd->bgrt", qg, ck_all[i].astype(x.dtype))
-        att = att.astype(jnp.float32) / sqrt_d + bias
-        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        if q8:
+            att = att.astype(jnp.float32) * (sk_all[i][:, :, None, :] / sqrt_d)
+            att = jax.nn.softmax(att + bias, axis=-1)
+            att = (att * sv_all[i][:, :, None, :]).astype(x.dtype)
+        else:
+            att = att.astype(jnp.float32) / sqrt_d + bias
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
         o = jnp.einsum("bgrt,bgtd->bgrd", att, cv_all[i].astype(x.dtype))
         o = o.reshape(B, 1, H * d)
         x = x + _lora_matmul(o, a["wo"], ll.get("wo") if ll else None, scale)
@@ -320,6 +368,9 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_lora = lora.get("lm_head") if lora else None
     logits = _lora_matmul(x, params["lm_head"], head_lora, scale)[:, 0]
+    if q8:
+        return logits, {"k": ck_all, "v": cv_all,
+                        "k_scale": sk_all, "v_scale": sv_all}
     return logits, {"k": ck_all, "v": cv_all}
 
 
