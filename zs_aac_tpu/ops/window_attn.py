@@ -31,6 +31,14 @@ stage 1 contributes most (-5.9 ms). A first kernel version that kept the
 reference's per-head [N, d=24] dots was perf-NEUTRAL despite fusing the
 relayouts — the masked-head big-matmul formulation is what unlocks it.
 
+Training: the BACKWARD is a Pallas kernel too (``_bwd_kernel`` — the
+analytic attention backward with flash-style in-VMEM forward recompute,
+weight/bias grads accumulated across a sequential grid). HTSAT+BERT
+contrastive step b64 bf16: 463 samples/s (XLA path) -> 598 fused
+(+29%); an earlier backward that linearized the pure-jnp twin (i.e.
+re-ran the XLA forward) was a measured wash. Stage-4-class shapes fall
+back to the twin backward (``_pick_rows_bwd``).
+
 ``bias``: per-window fp32 (relative-position bias + shift mask), shape
 [nH, nW, h, N, N], precomputed on host in the rolled window frame.
 
@@ -507,15 +515,287 @@ def _fwa_fwd(x, qkv_w, qkv_b, proj_w, proj_b, bias, window, num_heads, shift):
 
 
 def _fwa_bwd(window, num_heads, shift, res, g):
-    # flash-style recompute: residuals are just the inputs; the attention
-    # matrix is rebuilt inside the linearized reference
-    f = functools.partial(_reference_window_attention, window=window,
-                          num_heads=num_heads, shift=shift)
-    _, vjp = jax.vjp(f, *res)
-    return vjp(g)
+    x, qkv_w, qkv_b, proj_w, proj_b, bias = res
+    B, H, W, C = x.shape
+    nH, nW = H // window, W // window
+    N = window * window
+    rows = _pick_rows_bwd(nH, nW, N, C, num_heads, x.dtype.itemsize)
+    if rows is None:
+        # stage-4-class shapes: the grad working set exceeds VMEM — fall
+        # back to linearizing the pure-jnp twin (XLA recompute backward)
+        f = functools.partial(_reference_window_attention, window=window,
+                              num_heads=num_heads, shift=shift)
+        _, vjp = jax.vjp(f, *res)
+        return vjp(g)
+    return _fused_window_attention_bwd(
+        x, g, qkv_w, qkv_b, proj_w, proj_b, bias, window, num_heads, shift,
+    )
 
 
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
+
+
+def _bwd_kernel(x_ref, g_ref, qkv_w_ref, qkv_b_ref, proj_w_ref, bias_ref,
+                dx_ref, dqkvw_ref, dqkvb_ref, dprojw_ref, dprojb_ref,
+                dbias_ref, *, window: int, num_heads: int, shift: int,
+                rows: int):
+    """Analytic backward of ``_kernel`` on one row-slab, VMEM-resident.
+
+    Recomputes the forward internals (flash-style — the attention matrix
+    is never stored in HBM), then runs the standard attention backward in
+    the same masked-head big-matmul formulation as the forward: all grad
+    contractions are full-C (or full-h*N) MXU dots, and the window
+    partition/shift relayouts of BOTH the activations and their gradients
+    stay in VMEM. Weight/bias grads are accumulated across the sequential
+    (i, b) grid into f32 output blocks (init on first visit)."""
+    w = window
+    slab = x_ref[0]                       # [R, W, C]
+    gs = g_ref[0]                         # [R, W, C] output cotangent slab
+    W_ = slab.shape[1]
+    C = slab.shape[2]
+    h = num_heads
+    d = C // h
+    N = w * w
+    nW = W_ // w
+    nWin = rows * nW
+    dt = slab.dtype
+
+    if shift:
+        slab = jnp.concatenate([slab[:, shift:], slab[:, :shift]], axis=1)
+        gs = jnp.concatenate([gs[:, shift:], gs[:, :shift]], axis=1)
+
+    def part(t):                           # [R, W, C] -> [nWin*N, C]
+        return (
+            t.reshape(rows, w, nW, w, C)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nWin * N, C)
+        )
+
+    xw = part(slab)
+    gw = part(gs)
+
+    # ---- forward recompute (identical math to _kernel) ----
+    qkv = (
+        jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0]
+    ).astype(dt)
+    q = qkv[:, 0 * C : 1 * C].reshape(nWin, N, C)
+    k = qkv[:, 1 * C : 2 * C].reshape(nWin, N, C)
+    v = qkv[:, 2 * C : 3 * C].reshape(nWin, N, C)
+    mask2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 1) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 0) // N
+    ).astype(dt)
+    scale = float(1.0 / np.sqrt(d))
+    q_all = jnp.concatenate([q] * h, axis=1) * mask2[None]  # [nWin, h*N, C]
+    qs_all = q_all * jnp.asarray(scale, dt)
+    s = jax.lax.dot_general(
+        qs_all, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:].reshape(nWin, h * N, N)
+    p = jax.nn.softmax(s, axis=-1)         # f32 [nWin, h*N, N]
+    pdt = p.astype(dt)
+    o_all = jax.lax.dot_general(
+        pdt, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) * mask2[None]
+    o = o_all[:, 0:N, :]
+    for head in range(1, h):
+        o = o + o_all[:, head * N : (head + 1) * N, :]
+    o_flat = o.reshape(nWin * N, C)
+
+    # ---- backward ----
+    # proj: out = o_flat @ proj_w + proj_b
+    do = jax.lax.dot_general(
+        gw, proj_w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt).reshape(nWin, N, C)
+    dprojw = jax.lax.dot_general(
+        o_flat, gw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # [C, C] f32
+    dprojb = jnp.sum(gw.astype(jnp.float32), axis=0, keepdims=True)  # [1, C]
+
+    do_all = jnp.concatenate([do] * h, axis=1) * mask2[None]  # [nWin, h*N, C]
+    dp = jax.lax.dot_general(
+        do_all, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                      # [nWin, h*N, N] f32
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+    ds_dt = ds.astype(dt)
+
+    dq_all = jax.lax.dot_general(
+        ds_dt, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) * mask2[None]             # [nWin, h*N, C]
+    dq = dq_all[:, 0:N, :]
+    for head in range(1, h):
+        dq = dq + dq_all[:, head * N : (head + 1) * N, :]
+    dq = dq * jnp.asarray(scale, dt)
+    dk = jax.lax.dot_general(
+        ds_dt, qs_all, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)                           # [nWin, N, C]
+    dv = jax.lax.dot_general(
+        pdt, do_all, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)                           # [nWin, N, C]
+
+    dqkv = jnp.concatenate(
+        [dq.reshape(nWin * N, C), dk.reshape(nWin * N, C),
+         dv.reshape(nWin * N, C)], axis=1,
+    )                                      # [nWin*N, 3C]
+    dxw = jax.lax.dot_general(
+        dqkv, qkv_w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    dqkvw = jax.lax.dot_general(
+        xw, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # [C, 3C] f32
+    dqkvb = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    dxs = (
+        dxw.reshape(rows, nW, w, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * w, W_, C)
+    )
+    if shift:
+        dxs = jnp.concatenate(
+            [dxs[:, W_ - shift :], dxs[:, : W_ - shift]], axis=1)
+    dx_ref[0] = dxs
+
+    dbias_blk = ds.reshape(rows, nW, h, N, N)
+    b_id = pl.program_id(1)
+    i_id = pl.program_id(0)
+    first_all = jnp.logical_and(i_id == 0, b_id == 0)
+
+    @pl.when(b_id == 0)
+    def _():
+        dbias_ref[...] = dbias_blk
+
+    @pl.when(b_id != 0)
+    def _():
+        dbias_ref[...] += dbias_blk
+
+    @pl.when(first_all)
+    def _():
+        dqkvw_ref[...] = dqkvw
+        dqkvb_ref[...] = dqkvb
+        dprojw_ref[...] = dprojw
+        dprojb_ref[...] = dprojb
+
+    @pl.when(jnp.logical_not(first_all))
+    def _():
+        dqkvw_ref[...] += dqkvw
+        dqkvb_ref[...] += dqkvb
+        dprojw_ref[...] += dprojw
+        dprojb_ref[...] += dprojb
+
+
+def _pick_rows_bwd(nH: int, nW: int, N: int, C: int, num_heads: int,
+                   itemsize: int):
+    """Row count for the backward kernel, or ``None`` when even one
+    window-row exceeds the VMEM budget (stage-4-class shapes: the f32
+    weight-grad accumulators alone are ~9 MB at C=768) — callers fall back
+    to the XLA-twin backward."""
+    h = num_heads
+    wacc = (C * 3 * C + C * C) * 4
+    for rows in range(nH, 0, -1):
+        if nH % rows:
+            continue
+        nWin = rows * nW
+        score = nWin * h * N * N * 4       # s/p/dp/ds f32 + bias + dbias
+        big_dt = nWin * h * N * C * itemsize  # q_all/do_all/dq_all/o_all
+        slabs = 3 * rows * N * nW * C * itemsize
+        if wacc + 6 * score + 4 * big_dt + slabs < 9 * 1024 * 1024:
+            return rows
+    return None
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _fused_window_attention_bwd(x, g, qkv_w, qkv_b, proj_w, proj_b, bias,
+                                window: int, num_heads: int, shift: int):
+    """Pallas backward for ``fused_window_attention``: one sequential-grid
+    kernel emits dx and accumulates the weight/bias grads in f32 across
+    (window-row-group, batch) instances. Returns cotangents matching the
+    primal dtypes."""
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    N = w * w
+    rows = _pick_rows_bwd(nH, nW, N, C, num_heads, x.dtype.itemsize)
+    assert rows is not None, "caller must gate on _pick_rows_bwd"
+
+    def rolled(t):
+        return jax.lax.slice_in_dim(
+            jnp.concatenate([t, t[:, :w]], axis=1), shift, shift + H, axis=1
+        )
+
+    x_in = rolled(x) if shift else x
+    g_in = rolled(g) if shift else g
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, window=w, num_heads=num_heads,
+                          shift=shift, rows=rows),
+        grid=(nH // rows, B),
+        # sequential grid: the weight/bias grad outputs are revisited and
+        # accumulated across instances (init on first visit)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows * w, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda i, b: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda i, b: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((nH, nW, num_heads, N, N), jnp.float32),
+        ],
+    )(x_in, g_in, qkv_w, qkv_b.reshape(1, -1), proj_w, bias)
+
+    dx, dqkvw, dqkvb, dprojw, dprojb, dbias = outs
+    if shift:
+        dx = jnp.roll(dx, shift, axis=1)
+    return (
+        dx,
+        dqkvw.astype(qkv_w.dtype),
+        dqkvb.reshape(-1).astype(qkv_b.dtype),
+        dprojw.astype(proj_w.dtype),
+        dprojb.reshape(-1).astype(proj_b.dtype),
+        dbias.astype(bias.dtype),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))

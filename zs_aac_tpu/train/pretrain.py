@@ -94,6 +94,7 @@ def apply_freeze(optimizer, config):
 
 
 def build_ase_from_config(config: dict):
+    import jax
     import jax.numpy as jnp
 
     from zs_aac_tpu.models.ase import ASE, ASEConfig
@@ -103,14 +104,22 @@ def build_ase_from_config(config: dict):
         encoder = "htsat"
     else:
         encoder = "cnn14" if enc_args.get("model", "Cnn14") == "Cnn14" else "resnet38"
-    # The fused Pallas window attention is training-capable (custom_vjp,
-    # grad-parity-tested) but measured a WASH for the train step on v5e:
-    # 375 samples/s fused vs 385 XLA at batch 8 — the flash-style backward
-    # recomputes the XLA-formulation forward for its residuals, cancelling
-    # the kernel's 1.38x forward win. Training therefore defaults to the
-    # XLA path; inference (pipeline/extract.py, eval/zero_shot.py) enables
-    # the kernel where it is a pure forward and the 1.38x is real.
-    fused = config.get("fused_attn", False)
+    # The fused Pallas window attention is training-capable and, since the
+    # backward became a Pallas kernel too (ops/window_attn.py::_bwd_kernel
+    # — the earlier flash-style XLA-recompute backward made it a WASH, 375
+    # vs 385 samples/s), a measured win: HTSAT+BERT contrastive step 463 ->
+    # 598 samples/s at batch 64 bf16 (547 at b32). Training defaults to the
+    # fused path on a single TPU chip; grads are parity-tested vs the XLA
+    # formulation (tests/test_htsat.py) and stage-4-class shapes fall back
+    # to the XLA twin automatically (_pick_rows_bwd). Multi-device meshes
+    # keep the XLA path by default: pallas_call is opaque to GSPMD
+    # auto-partitioning (the dp train step shards on batch without
+    # shard_map), so set fused_attn explicitly only with a shard_map-style
+    # wrapper if ever needed there.
+    fused = config.get(
+        "fused_attn",
+        jax.default_backend() == "tpu" and jax.device_count() == 1,
+    )
     # whole-block fusion is eval-only (the flax block falls back to the
     # layered path whenever train=True), so plumbing it through a training
     # config is safe — inference callers get the fused eval path.
