@@ -320,6 +320,55 @@ def test_fused_window_attention_grad_matches_xla():
         )
 
 
+def test_fused_window_attention_pallas_bwd_direct():
+    """The Pallas backward kernel (``_bwd_kernel``) must produce the
+    analytic grads of the kernel math — checked directly against the
+    linearized pure-jnp twin at an HTSAT-stage-like shape (engages the
+    kernel; interpret mode on CPU) and at a stage-4-class shape where
+    ``_pick_rows_bwd`` returns None and ``_fwa_bwd`` must fall back to the
+    twin vjp."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.ops.window_attn import (
+        _fwa_bwd,
+        _pick_rows_bwd,
+        _reference_window_attention,
+        build_window_bias,
+    )
+
+    def case(H, W, C, h, shift, window=8):
+        nH, nW, N = H // window, W // window, window * window
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32) * 0.1)
+        qkv_w = jnp.asarray(rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.05)
+        qkv_b = jnp.asarray(rng.standard_normal((3 * C,)).astype(np.float32) * 0.01)
+        proj_w = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.05)
+        proj_b = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.01)
+        rpb = jnp.asarray(rng.standard_normal((h, N, N)).astype(np.float32) * 0.1)
+        bias = build_window_bias(rpb, None, nH, nW)
+        g = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+        res = (x, qkv_w, qkv_b, proj_w, proj_b, bias)
+
+        got = _fwa_bwd(window, h, shift, res, g)
+        f = functools.partial(_reference_window_attention, window=window,
+                              num_heads=h, shift=shift)
+        _, vjp = jax.vjp(f, *res)
+        want = vjp(g)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+    # stage-0-like (Pallas kernel engaged: f32 itemsize, C=96 fits)
+    assert _pick_rows_bwd(2, 2, 64, 96, 4, 4) is not None
+    case(16, 16, 96, 4, shift=0)
+    case(16, 16, 96, 4, shift=4)
+    # stage-4-class: must gate to the twin-vjp fallback
+    assert _pick_rows_bwd(1, 1, 64, 768, 32, 4) is None
+    case(8, 8, 768, 32, shift=0)
+
+
 def test_fused_swin_block_matches_xla():
     """The whole-block Pallas kernel (LN1/attn/residual/LN2/MLP/residual
     VMEM-resident, ``ops/window_attn.py::fused_swin_block``) must match the
