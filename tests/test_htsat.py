@@ -409,6 +409,111 @@ def test_fused_swin_block_matches_xla():
     assert np.isfinite(np.asarray(out_tr)).all()
 
 
+def test_fused_swin_block_train_bwd_direct():
+    """``fused_swin_block_train``'s split Pallas backward (MLP+LN2 kernel,
+    then attention+LN1 kernel) must produce the analytic grads of the
+    pure-jnp twin with NONTRIVIAL per-sample drop-path keep scales,
+    shifted and unshifted (interpret mode on CPU)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.ops.window_attn import (
+        _pick_rows_block_train,
+        _reference_swin_block_train,
+        fused_swin_block_train,
+    )
+
+    def case(H, W, C, h, shift, window=8):
+        hidden = 4 * C
+        nH, nW, N = H // window, W // window, window * window
+        assert _pick_rows_block_train(nH, nW, N, C, h, hidden, 4) is not None
+        rng = np.random.default_rng(13)
+        r = lambda *s: jnp.asarray(
+            rng.standard_normal(s).astype(np.float32) * 0.05)
+        x = r(2, H, W, C)
+        args = (x, r(C) + 1.0, r(C), r(C, 3 * C), r(3 * C), r(C, C), r(C),
+                r(C) + 1.0, r(C), r(C, hidden), r(hidden), r(hidden, C),
+                r(C))
+        from zs_aac_tpu.ops.window_attn import build_window_bias
+        rpb = r(h, N, N)
+        bias = build_window_bias(rpb, None, nH, nW)
+        # drop-path keep scales: one row kept+rescaled, one row dropped
+        m1 = jnp.asarray([1.25, 0.0], jnp.float32)
+        m2 = jnp.asarray([0.0, 1.25], jnp.float32)
+        g = r(2, H, W, C) * 20.0
+
+        f_fused = functools.partial(fused_swin_block_train, window=window,
+                                    num_heads=h, shift=shift, eps=1e-6)
+        f_twin = functools.partial(_reference_swin_block_train, window=window,
+                                   num_heads=h, shift=shift, eps=1e-6)
+        out_f, vjp_f = jax.vjp(f_fused, *args, bias, m1, m2)
+        out_t, vjp_t = jax.vjp(f_twin, *args, bias, m1, m2)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_t),
+                                   rtol=2e-4, atol=2e-5)
+        got, want = vjp_f(g), vjp_t(g)
+        # mask cotangents are zeros by design; skip the twin's values there
+        for i, (a, b) in enumerate(zip(got[:-2], want[:-2])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4,
+                                       err_msg=f"arg {i}")
+        assert not np.any(np.asarray(got[-1]))
+        assert not np.any(np.asarray(got[-2]))
+
+    case(16, 16, 96, 4, shift=0)
+    case(16, 16, 96, 4, shift=4)
+
+
+def test_fused_swin_block_train_grad_matches_xla():
+    """Model-level: HTSAT with ``fused_block`` in TRAIN mode (the
+    fused_swin_block_train path — fused Pallas forward + split Pallas
+    backward) must reproduce the layered XLA path's gradients. drop_path
+    is zeroed so both paths are deterministic (stochastic-depth draws are
+    path-specific); the nontrivial-mask algebra is covered by
+    ``test_fused_swin_block_train_bwd_direct``."""
+    import jax.numpy as jnp
+
+    from zs_aac_tpu.models.htsat import HTSAT
+
+    kw = dict(spec_size=64, patch_stride=4, patch_size=4, embed_dim=32,
+              depths=(2, 2), num_heads=(2, 4), window_size=4, n_mels=16,
+              drop_path_rate=0.0)
+    ref = HTSAT(**kw)
+    fused = HTSAT(fused_attn=True, fused_block=True, **kw)
+
+    rng = np.random.default_rng(5)
+    spec = jnp.asarray(rng.standard_normal((2, 251, 16)).astype(np.float32))
+    variables = jax.jit(lambda r, s: ref.init({"params": r}, s, train=False))(
+        jax.random.key(1), spec
+    )
+
+    def loss(model):
+        def f(params, s):
+            out, _ = model.apply(
+                {"params": params,
+                 **{k: v for k, v in variables.items() if k != "params"}},
+                s, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(7),
+                      "specaug": jax.random.key(8)})
+            return jnp.sum(jnp.tanh(out))
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1)))(
+        variables["params"], spec
+    )
+    g_fused = jax.jit(jax.grad(loss(fused), argnums=(0, 1)))(
+        variables["params"], spec
+    )
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree.leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), b in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_fused_swin_block_grad_matches_xla():
     """fused_swin_block's custom_vjp (recompute via the pure-jnp twin) must
     reproduce the layered path's gradients."""

@@ -236,6 +236,52 @@ class _SwinBlock(nn.Module):
             window = min(H, W)
         B, L, C = x.shape
 
+        if self.fused_block and train:
+            # whole-block TRAIN kernels: fused Pallas forward AND split
+            # Pallas backward (ops/window_attn.py::fused_swin_block_train);
+            # drop_path enters as per-sample keep scales. Falls through to
+            # the layered path when the working set exceeds VMEM.
+            from zs_aac_tpu.ops.window_attn import (
+                _pick_rows_block_train,
+                fused_swin_block_train,
+            )
+
+            hidden = int(C * self.mlp_ratio)
+            fits = _pick_rows_block_train(
+                H // window, W // window, window * window, C,
+                self.num_heads, hidden, jnp.dtype(self.dtype).itemsize,
+            ) is not None
+            if fits:
+                dt = self.dtype
+                x4 = x.reshape(B, H, W, C).astype(dt)
+                mask = _shift_attn_mask(H, W, window, shift)
+                mask = jnp.asarray(mask) if mask is not None else None
+                attn = _WindowAttention(C, window, self.num_heads, dt,
+                                        name="attn")
+                qkv_k, qkv_b, proj_k, proj_b, bias = attn(
+                    None, mask, fused_image=x4, shift=shift,
+                    return_raw=True)
+                ln1_s, ln1_b = _LNParams(C, name="norm1")()
+                ln2_s, ln2_b = _LNParams(C, name="norm2")()
+                fc1_k, fc1_b = _LinParams(C, hidden, name="fc1")()
+                fc2_k, fc2_b = _LinParams(hidden, C, name="fc2")()
+                if self.drop_path > 0.0:
+                    keep = 1.0 - self.drop_path
+                    r1, r2 = jax.random.split(self.make_rng("dropout"))
+                    m1 = jax.random.bernoulli(r1, keep, (B,)).astype(
+                        jnp.float32) / keep
+                    m2 = jax.random.bernoulli(r2, keep, (B,)).astype(
+                        jnp.float32) / keep
+                else:
+                    m1 = m2 = jnp.ones((B,), jnp.float32)
+                out = fused_swin_block_train(
+                    x4, ln1_s, ln1_b, qkv_k, qkv_b, proj_k, proj_b,
+                    ln2_s, ln2_b, fc1_k.astype(dt), fc1_b.astype(dt),
+                    fc2_k.astype(dt), fc2_b.astype(dt), bias, m1, m2,
+                    window, self.num_heads, shift, 1e-6,
+                )
+                return out.reshape(B, L, C)
+
         if self.fused_block and not train:
             # whole-block Pallas kernel (LN1/attn/residual/LN2/MLP/residual
             # VMEM-resident); eval-only — drop_path is identity there. Falls

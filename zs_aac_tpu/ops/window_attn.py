@@ -57,7 +57,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention", "fused_swin_block", "build_window_bias"]
+__all__ = ["fused_window_attention", "fused_swin_block",
+           "fused_swin_block_train", "build_window_bias"]
 
 
 def build_window_bias(rpb, mask, nH: int, nW: int):
@@ -860,3 +861,706 @@ def _fused_window_attention_fwd_only(
         # single row un-roll (the only full-activation copy on this path)
         out = jnp.roll(out, shift, axis=1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# whole-block TRAINING kernels (forward + split Pallas backward)
+# ---------------------------------------------------------------------------
+#
+# The eval whole-block kernel above is forward-only (its custom_vjp
+# linearizes the jnp twin, re-paying the XLA forward — measured a wash for
+# training). The training path fuses BOTH directions:
+#
+#   forward  : one kernel per row-slab emitting (out, y) where
+#              y = x + m1*attn(LN1(x)) is the post-attention residual —
+#              saving y costs one extra [B, H, W, C] bf16 HBM stream but
+#              lets the backward split into two small kernels with no
+#              attention recompute in the MLP half.
+#   backward : kernel A (MLP+LN2): from (y, g, m2) -> dy_total, dLN2, dFC;
+#              kernel B (attention+LN1): from (x, dy_total, m1) -> dx,
+#              dLN1, dQKV/dproj, dbias — the _bwd_kernel math wrapped in
+#              the LN1 chain.
+#
+# ``m1``/``m2`` are per-sample drop-path keep scales ([B] f32, mask/keep —
+# the reference's stochastic depth, ``htsat.py:369-475`` drop_path). Their
+# cotangents are returned as zeros (they are Bernoulli draws, never
+# differentiated).
+
+
+def _ln_fwd_f32(u, scale, bias, eps):
+    """LN forward returning (out_dt, xhat_f32, inv_sigma_f32)."""
+    uf = u.astype(jnp.float32)
+    mean = jnp.mean(uf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(uf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (uf - mean) * inv
+    out = (xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+    return out.astype(u.dtype), xhat, inv
+
+
+def _ln_bwd_f32(dout, xhat, inv, scale):
+    """LN backward: returns (du_f32, dscale_rowsum, dbias_rowsum).
+    dout may be dt or f32; stats f32. Row sums are reduced over all rows
+    (the caller accumulates across slabs)."""
+    g = dout.astype(jnp.float32)
+    C = xhat.shape[-1]
+    gs = g * scale.astype(jnp.float32)
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    du = (gs - m1 - xhat * m2) * inv
+    dscale = jnp.sum(g * xhat, axis=tuple(range(g.ndim - 1)))
+    dbias = jnp.sum(g, axis=tuple(range(g.ndim - 1)))
+    return du, dscale, dbias
+
+
+def _gelu_grad_f32(x):
+    """d/dx gelu_exact(x) in f32 (A&S erf + exact pdf term)."""
+    z = x * 0.7071067811865476
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    pdf = jnp.exp(-0.5 * x * x) * 0.3989422804014327
+    return 0.5 * (1.0 + erf) + x * pdf
+
+
+def _block_train_kernel(x_ref, m1_ref, m2_ref, ln1_ref, qkv_w_ref, qkv_b_ref,
+                        proj_w_ref, proj_b_ref, ln2_ref, fc1_w_ref, fc1_b_ref,
+                        fc2_w_ref, fc2_b_ref, bias_ref, out_ref, y_ref, *,
+                        window: int, num_heads: int, shift: int, rows: int,
+                        eps: float):
+    """``_block_kernel`` with drop-path scales, emitting (out, y)."""
+    w = window
+    slab = x_ref[0]
+    W = slab.shape[1]
+    C = slab.shape[2]
+    h = num_heads
+    d = C // h
+    N = w * w
+    nW = W // w
+    nWin = rows * nW
+    dt = slab.dtype
+    m1 = m1_ref[0, 0, 0].astype(dt)
+    m2 = m2_ref[0, 0, 0].astype(dt)
+
+    xn, _, _ = _ln_fwd_f32(slab, ln1_ref[0], ln1_ref[1], eps)
+    if shift:
+        xn = jnp.concatenate([xn[:, shift:], xn[:, :shift]], axis=1)
+    xw = (
+        xn.reshape(rows, w, nW, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nWin * N, C)
+    )
+    qkv = (
+        jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0]
+    ).astype(dt)
+    q = qkv[:, 0 * C : 1 * C].reshape(nWin, N, C)
+    k = qkv[:, 1 * C : 2 * C].reshape(nWin, N, C)
+    v = qkv[:, 2 * C : 3 * C].reshape(nWin, N, C)
+    mask2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 1) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 0) // N
+    ).astype(dt)
+    scale = float(1.0 / np.sqrt(d))
+    q_all = jnp.concatenate([q] * h, axis=1) * mask2[None]
+    s = jax.lax.dot_general(
+        q_all * jnp.asarray(scale, dt), k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:].reshape(nWin, h * N, N)
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    o_all = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) * mask2[None]
+    o = o_all[:, 0:N, :]
+    for head in range(1, h):
+        o = o + o_all[:, head * N : (head + 1) * N, :]
+    o = (
+        jnp.dot(o.reshape(nWin * N, C), proj_w_ref[:],
+                preferred_element_type=jnp.float32)
+        + proj_b_ref[0]
+    ).astype(dt)
+    o = (
+        o.reshape(rows, nW, w, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * w, W, C)
+    )
+    if shift:
+        o = jnp.concatenate([o[:, W - shift :], o[:, : W - shift]], axis=1)
+
+    y = slab + m1 * o
+    y_ref[0] = y
+    yn, _, _ = _ln_fwd_f32(y, ln2_ref[0], ln2_ref[1], eps)
+    ynf = yn.reshape(rows * w * W, C)
+    hmid = (
+        jnp.dot(ynf, fc1_w_ref[:], preferred_element_type=jnp.float32)
+        + fc1_b_ref[0]
+    )
+    hg = _gelu_exact_f32(hmid).astype(dt)
+    z = (
+        jnp.dot(hg, fc2_w_ref[:], preferred_element_type=jnp.float32)
+        + fc2_b_ref[0]
+    ).astype(dt)
+    out_ref[0] = y + m2 * z.reshape(rows * w, W, C)
+
+
+def _mlp_bwd_kernel(y_ref, g_ref, m2_ref, ln2_ref, fc1_w_ref, fc1_b_ref,
+                    fc2_w_ref, dy_ref, dln2s_ref, dln2b_ref, dfc1w_ref,
+                    dfc1b_ref, dfc2w_ref, dfc2b_ref, *, rows: int,
+                    eps: float):
+    """Backward of (LN2 -> fc1 -> gelu -> fc2, + residual) from the saved
+    post-attention residual ``y``. Emits dy_total = g + m2 * d(mlp)/dy and
+    accumulates LN2/FC grads across the sequential grid."""
+    y = y_ref[0]                          # [R, W, C]
+    g = g_ref[0]
+    C = y.shape[2]
+    dt = y.dtype
+    m2 = m2_ref[0, 0, 0]
+
+    yn, yhat, inv = _ln_fwd_f32(y, ln2_ref[0], ln2_ref[1], eps)
+    R, W, _ = y.shape
+    ynf = yn.reshape(R * W, C)
+    hmid = (
+        jnp.dot(ynf, fc1_w_ref[:], preferred_element_type=jnp.float32)
+        + fc1_b_ref[0]
+    )
+    hg = _gelu_exact_f32(hmid).astype(dt)
+
+    gz = (g.reshape(R * W, C).astype(jnp.float32)
+          * jnp.asarray(m2, jnp.float32)).astype(dt)
+    dfc2w = jax.lax.dot_general(
+        hg, gz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dfc2b = jnp.sum(gz.astype(jnp.float32), axis=0, keepdims=True)
+    dhg = jax.lax.dot_general(
+        gz, fc2_w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh1 = dhg * _gelu_grad_f32(hmid)       # f32 [R*W, hidden]
+    dh1_dt = dh1.astype(dt)
+    dfc1w = jax.lax.dot_general(
+        ynf, dh1_dt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dfc1b = jnp.sum(dh1, axis=0, keepdims=True)
+    dyn = jax.lax.dot_general(
+        dh1_dt, fc1_w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(R, W, C)
+    dy_mlp, dln2s, dln2b = _ln_bwd_f32(dyn, yhat, inv, ln2_ref[0])
+    dy_ref[0] = g + dy_mlp.astype(dt)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dln2s_ref[...] = dln2s.reshape(1, -1)
+        dln2b_ref[...] = dln2b.reshape(1, -1)
+        dfc1w_ref[...] = dfc1w
+        dfc1b_ref[...] = dfc1b
+        dfc2w_ref[...] = dfc2w
+        dfc2b_ref[...] = dfc2b
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dln2s_ref[...] += dln2s.reshape(1, -1)
+        dln2b_ref[...] += dln2b.reshape(1, -1)
+        dfc1w_ref[...] += dfc1w
+        dfc1b_ref[...] += dfc1b
+        dfc2w_ref[...] += dfc2w
+        dfc2b_ref[...] += dfc2b
+
+
+def _attn_ln1_bwd_kernel(x_ref, dy_ref, m1_ref, ln1_ref, qkv_w_ref,
+                         qkv_b_ref, proj_w_ref, bias_ref, dx_ref, dln1s_ref,
+                         dln1b_ref, dqkvw_ref, dqkvb_ref, dprojw_ref,
+                         dprojb_ref, dbias_ref, *, window: int,
+                         num_heads: int, shift: int, rows: int, eps: float):
+    """Backward of (LN1 -> window attention, + residual) given the total
+    residual cotangent ``dy``: the ``_bwd_kernel`` attention math wrapped
+    in the LN1 chain. dx = dy + dLN1(d_attn_in)."""
+    w = window
+    slab = x_ref[0]
+    dy = dy_ref[0]
+    W_ = slab.shape[1]
+    C = slab.shape[2]
+    h = num_heads
+    d = C // h
+    N = w * w
+    nW = W_ // w
+    nWin = rows * nW
+    dt = slab.dtype
+    m1 = m1_ref[0, 0, 0].astype(dt)
+
+    xn, xhat1, inv1 = _ln_fwd_f32(slab, ln1_ref[0], ln1_ref[1], eps)
+    go = dy * m1                          # cotangent of attn output (unshifted)
+    if shift:
+        xn = jnp.concatenate([xn[:, shift:], xn[:, :shift]], axis=1)
+        go = jnp.concatenate([go[:, shift:], go[:, :shift]], axis=1)
+
+    def part(t):
+        return (
+            t.reshape(rows, w, nW, w, C)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nWin * N, C)
+        )
+
+    xw = part(xn)
+    gw = part(go)
+
+    qkv = (
+        jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0]
+    ).astype(dt)
+    q = qkv[:, 0 * C : 1 * C].reshape(nWin, N, C)
+    k = qkv[:, 1 * C : 2 * C].reshape(nWin, N, C)
+    v = qkv[:, 2 * C : 3 * C].reshape(nWin, N, C)
+    mask2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 1) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (h * N, C), 0) // N
+    ).astype(dt)
+    scale = float(1.0 / np.sqrt(d))
+    q_all = jnp.concatenate([q] * h, axis=1) * mask2[None]
+    qs_all = q_all * jnp.asarray(scale, dt)
+    s = jax.lax.dot_general(
+        qs_all, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:].reshape(nWin, h * N, N)
+    p = jax.nn.softmax(s, axis=-1)
+    pdt = p.astype(dt)
+    o_all = jax.lax.dot_general(
+        pdt, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) * mask2[None]
+    o = o_all[:, 0:N, :]
+    for head in range(1, h):
+        o = o + o_all[:, head * N : (head + 1) * N, :]
+    o_flat = o.reshape(nWin * N, C)
+
+    do = jax.lax.dot_general(
+        gw, proj_w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt).reshape(nWin, N, C)
+    dprojw = jax.lax.dot_general(
+        o_flat, gw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dprojb = jnp.sum(gw.astype(jnp.float32), axis=0, keepdims=True)
+
+    do_all = jnp.concatenate([do] * h, axis=1) * mask2[None]
+    dp = jax.lax.dot_general(
+        do_all, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_dt = ds.astype(dt)
+
+    dq_all = jax.lax.dot_general(
+        ds_dt, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) * mask2[None]
+    dq = dq_all[:, 0:N, :]
+    for head in range(1, h):
+        dq = dq + dq_all[:, head * N : (head + 1) * N, :]
+    dq = dq * jnp.asarray(scale, dt)
+    dk = jax.lax.dot_general(
+        ds_dt, qs_all, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    dv = jax.lax.dot_general(
+        pdt, do_all, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+
+    dqkv = jnp.concatenate(
+        [dq.reshape(nWin * N, C), dk.reshape(nWin * N, C),
+         dv.reshape(nWin * N, C)], axis=1,
+    )
+    dxw = jax.lax.dot_general(
+        dqkv, qkv_w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    dqkvw = jax.lax.dot_general(
+        xw, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dqkvb = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    dxn = (
+        dxw.reshape(rows, nW, w, w, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * w, W_, C)
+    )
+    if shift:
+        dxn = jnp.concatenate(
+            [dxn[:, W_ - shift :], dxn[:, : W_ - shift]], axis=1)
+
+    dx_ln, dln1s, dln1b = _ln_bwd_f32(dxn, xhat1, inv1, ln1_ref[0])
+    dx_ref[0] = dy + dx_ln.astype(dt)
+
+    dbias_blk = ds.reshape(rows, nW, h, N, N)
+    b_id = pl.program_id(1)
+    first_all = jnp.logical_and(pl.program_id(0) == 0, b_id == 0)
+
+    @pl.when(b_id == 0)
+    def _():
+        dbias_ref[...] = dbias_blk
+
+    @pl.when(b_id != 0)
+    def _():
+        dbias_ref[...] += dbias_blk
+
+    @pl.when(first_all)
+    def _():
+        dln1s_ref[...] = dln1s.reshape(1, -1)
+        dln1b_ref[...] = dln1b.reshape(1, -1)
+        dqkvw_ref[...] = dqkvw
+        dqkvb_ref[...] = dqkvb
+        dprojw_ref[...] = dprojw
+        dprojb_ref[...] = dprojb
+
+    @pl.when(jnp.logical_not(first_all))
+    def _():
+        dln1s_ref[...] += dln1s.reshape(1, -1)
+        dln1b_ref[...] += dln1b.reshape(1, -1)
+        dqkvw_ref[...] += dqkvw
+        dqkvb_ref[...] += dqkvb
+        dprojw_ref[...] += dprojw
+        dprojb_ref[...] += dprojb
+
+
+def _pick_rows_block_train(nH: int, nW: int, N: int, C: int, num_heads: int,
+                           hidden: int, itemsize: int):
+    """Row count for the train-block kernels, or ``None`` to fall back to
+    the layered XLA path. Gates on the LARGEST of the three kernels (the
+    attention+LN1 backward: the _bwd_kernel working set plus the LN f32
+    stats); the forward reuses the eval block estimate and the MLP
+    backward is strictly smaller."""
+    fwd = _pick_rows_block(nH, nW, N, C, num_heads, hidden, itemsize)
+    bwd = _pick_rows_bwd(nH, nW, N, C, num_heads, itemsize)
+    if fwd is None or bwd is None:
+        return None
+    return min(fwd, bwd)
+
+
+def _reference_swin_block_train(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w,
+                                proj_b, ln2_s, ln2_b, fc1_w, fc1_b, fc2_w,
+                                fc2_b, bias, m1, m2, window: int,
+                                num_heads: int, shift: int, eps: float):
+    """Pure-jnp twin of the train block (drop-path keep scales m1/m2 [B])."""
+    xn = _ln(x, ln1_s, ln1_b, eps)
+    o = _reference_window_attention(xn, qkv_w, qkv_b, proj_w, proj_b, bias,
+                                    window, num_heads, shift)
+    y = x + m1[:, None, None, None].astype(x.dtype) * o
+    yn = _ln(y, ln2_s, ln2_b, eps)
+    hmid = yn.astype(jnp.float32) @ fc1_w.astype(jnp.float32) + fc1_b
+    hmid = jax.nn.gelu(hmid, approximate=False).astype(x.dtype)
+    z = (hmid.astype(jnp.float32) @ fc2_w.astype(jnp.float32)
+         + fc2_b).astype(x.dtype)
+    return y + m2[:, None, None, None].astype(x.dtype) * z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19))
+def fused_swin_block_train(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+                           ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b, bias,
+                           m1, m2, window: int, num_heads: int, shift: int,
+                           eps: float):
+    """Whole Swin block for TRAINING: fused Pallas forward AND backward.
+
+    ``m1``/``m2`` are per-sample drop-path keep scales ([B] f32 — the
+    reference's stochastic depth applied to the attention / MLP branches;
+    pass ones for eval semantics). Callers must gate on
+    ``_pick_rows_block_train(...) is not None``. Gradients flow to every
+    weight and ``x``; the mask cotangents are zeros (Bernoulli draws)."""
+    out, _ = _fused_swin_block_train_fwd_only(
+        x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+        fc1_w, fc1_b, fc2_w, fc2_b, bias, m1, m2, window, num_heads, shift,
+        eps,
+    )
+    return out
+
+
+def _fsbt_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+              fc1_w, fc1_b, fc2_w, fc2_b, bias, m1, m2, window, num_heads,
+              shift, eps):
+    out, y = _fused_swin_block_train_fwd_only(
+        x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+        fc1_w, fc1_b, fc2_w, fc2_b, bias, m1, m2, window, num_heads, shift,
+        eps,
+    )
+    res = (x, y, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, ln2_s, ln2_b,
+           fc1_w, fc1_b, fc2_w, bias, m1, m2)
+    return out, res
+
+
+def _fsbt_bwd(window, num_heads, shift, eps, res, g):
+    (x, y, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, ln2_s, ln2_b,
+     fc1_w, fc1_b, fc2_w, bias, m1, m2) = res
+    (dy, dln2s, dln2b, dfc1w, dfc1b, dfc2w, dfc2b) = _mlp_bwd_call(
+        y, g, m2, ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, eps)
+    (dx, dln1s, dln1b, dqkvw, dqkvb, dprojw, dprojb, dbias) = (
+        _attn_ln1_bwd_call(x, dy, m1, ln1_s, ln1_b, qkv_w, qkv_b, proj_w,
+                           bias, window, num_heads, shift, eps))
+    zeros_m = jnp.zeros_like(m1)
+    return (dx,
+            dln1s.astype(ln1_s.dtype), dln1b.astype(ln1_b.dtype),
+            dqkvw.astype(qkv_w.dtype), dqkvb.astype(qkv_b.dtype),
+            dprojw.astype(proj_w.dtype), dprojb.astype(proj_w.dtype),
+            dln2s.astype(ln2_s.dtype), dln2b.astype(ln2_b.dtype),
+            dfc1w.astype(fc1_w.dtype), dfc1b.astype(fc1_b.dtype),
+            dfc2w.astype(fc2_w.dtype), dfc2b.astype(fc2_w.dtype),
+            dbias.astype(bias.dtype), zeros_m, jnp.zeros_like(m2))
+
+
+fused_swin_block_train.defvjp(_fsbt_fwd, _fsbt_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(16, 17, 18, 19))
+def _fused_swin_block_train_fwd_only(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w,
+                                     proj_b, ln2_s, ln2_b, fc1_w, fc1_b,
+                                     fc2_w, fc2_b, bias, m1, m2,
+                                     window: int, num_heads: int, shift: int,
+                                     eps: float):
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    N = w * w
+    hidden = fc1_w.shape[1]
+    rows = _pick_rows_block_train(nH, nW, N, C, num_heads, hidden,
+                                  x.dtype.itemsize)
+    assert rows is not None, "caller must gate on _pick_rows_block_train"
+
+    if shift:
+        x_in = jax.lax.slice_in_dim(
+            jnp.concatenate([x, x[:, :w]], axis=1), shift, shift + H, axis=1
+        )
+    else:
+        x_in = x
+    pair = lambda s, b: jnp.stack([s, b]).astype(x.dtype)
+    m1c = m1.reshape(B, 1, 1).astype(jnp.float32)
+    m2c = m2.reshape(B, 1, 1).astype(jnp.float32)
+
+    out, y = pl.pallas_call(
+        functools.partial(_block_train_kernel, window=w, num_heads=num_heads,
+                          shift=shift, rows=rows, eps=eps),
+        grid=(B, nH // rows),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda b, i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows * w, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        ],
+    )(
+        x_in, m1c, m2c, pair(ln1_s, ln1_b), qkv_w, qkv_b.reshape(1, -1),
+        proj_w, proj_b.reshape(1, -1), pair(ln2_s, ln2_b), fc1_w,
+        fc1_b.reshape(1, -1), fc2_w, fc2_b.reshape(1, -1), bias,
+    )
+    if shift:
+        out = jnp.roll(out, shift, axis=1)
+        y = jnp.roll(y, shift, axis=1)
+    return out, y
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _mlp_bwd_call(y, g, m2, ln2_s, ln2_b, fc1_w, fc1_b, fc2_w, eps: float):
+    B, H, W, C = y.shape
+    hidden = fc1_w.shape[1]
+    it = y.dtype.itemsize
+    # slab over rows of the image: largest divisor of H whose buffers fit.
+    # Per-row estimate: three f32 + one dt hidden-wide buffers (hmid, dhg,
+    # dh1, dh1_dt) plus the C-wide slabs/LN intermediates; Mosaic's true
+    # scoped stack runs ~1.8x the estimate (see _pick_rows), so budget 5 MB.
+    per_row = W * hidden * (12 + it) + W * C * (4 * it + 12)
+    rows = 1
+    for r in range(H, 0, -1):
+        if H % r == 0 and r * per_row < 5 * 1024 * 1024:
+            rows = r
+            break
+    pair = lambda s, b: jnp.stack([s, b]).astype(y.dtype)
+    m2c = m2.reshape(B, 1, 1).astype(jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, rows=rows, eps=eps),
+        grid=(H // rows, B),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, rows, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), y.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+    )(y, g, m2c, pair(ln2_s, ln2_b), fc1_w, fc1_b.reshape(1, -1), fc2_w)
+    dy, dln2s, dln2b, dfc1w, dfc1b, dfc2w, dfc2b = outs
+    return (dy, dln2s.reshape(-1), dln2b.reshape(-1), dfc1w,
+            dfc1b.reshape(-1), dfc2w, dfc2b.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
+def _attn_ln1_bwd_call(x, dy, m1, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, bias,
+                       window: int, num_heads: int, shift: int, eps: float):
+    B, H, W, C = x.shape
+    w = window
+    nH, nW = H // w, W // w
+    N = w * w
+    rows = _pick_rows_bwd(nH, nW, N, C, num_heads, x.dtype.itemsize)
+    assert rows is not None
+
+    def rolled(t):
+        return jax.lax.slice_in_dim(
+            jnp.concatenate([t, t[:, :w]], axis=1), shift, shift + H, axis=1
+        )
+
+    # LN1 and the residual live in the UNSHIFTED frame; the kernel applies
+    # the column shift internally and the row shift is this wrap slice —
+    # both x and dy enter row-rolled, and dx leaves row-rolled.
+    x_in = rolled(x) if shift else x
+    dy_in = rolled(dy) if shift else dy
+    pair = lambda s, b: jnp.stack([s, b]).astype(x.dtype)
+    m1c = m1.reshape(B, 1, 1).astype(jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_attn_ln1_bwd_kernel, window=w,
+                          num_heads=num_heads, shift=shift, rows=rows,
+                          eps=eps),
+        grid=(nH // rows, B),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows * w, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda i, b: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows * w, W, C), lambda i, b: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, nW, num_heads, N, N),
+                         lambda i, b: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((nH, nW, num_heads, N, N), jnp.float32),
+        ],
+    )(x_in, dy_in, m1c, pair(ln1_s, ln1_b), qkv_w, qkv_b.reshape(1, -1),
+      proj_w, bias)
+    dx, dln1s, dln1b, dqkvw, dqkvb, dprojw, dprojb, dbias = outs
+    if shift:
+        dx = jnp.roll(dx, shift, axis=1)
+    return (dx, dln1s.reshape(-1), dln1b.reshape(-1), dqkvw,
+            dqkvb.reshape(-1), dprojw, dprojb.reshape(-1), dbias)

@@ -120,10 +120,16 @@ def build_ase_from_config(config: dict):
         "fused_attn",
         jax.default_backend() == "tpu" and jax.device_count() == 1,
     )
-    # whole-block fusion is eval-only (the flax block falls back to the
-    # layered path whenever train=True), so plumbing it through a training
-    # config is safe — inference callers get the fused eval path.
-    fused_block = config.get("fused_block", False)
+    # Whole-block fusion is training-capable too since the train kernels
+    # landed (ops/window_attn.py::fused_swin_block_train — fused Pallas
+    # forward + split Pallas backward, drop-path as per-sample keep
+    # scales): HTSAT+BERT contrastive step 598 -> 657 samples/s at batch
+    # 64 bf16 (609 @b32, 671 @b128), so it is the single-chip TPU training
+    # default for the same reason and with the same multi-device caveat as
+    # fused_attn above. Grad parity is tested model-level and
+    # kernel-direct (tests/test_htsat.py); oversized stages gate back to
+    # the layered path via _pick_rows_block_train.
+    fused_block = config.get("fused_block", fused)
     cfg = ASEConfig(
         embed_size=config.get("embed_size", 1024),
         temp=config.get("temp", 0.07),
