@@ -554,3 +554,266 @@ def test_fused_swin_block_grad_matches_xla():
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+# ---------------------------------------------------------------------------
+# Numeric end-to-end golden through convert_htsat (round-4 VERDICT #1)
+# ---------------------------------------------------------------------------
+
+
+class _TorchWindowAttention(torch.nn.Module):
+    """Reference WindowAttention (htsat.py:269-353) at generic geometry,
+    with the reference's exact parameter/buffer names."""
+
+    def __init__(self, dim, window, num_heads):
+        super().__init__()
+        tnn = torch.nn
+        self.dim, self.window, self.num_heads = dim, window, num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = tnn.Linear(dim, dim * 3)
+        self.proj = tnn.Linear(dim, dim)
+        self.relative_position_bias_table = tnn.Parameter(
+            torch.randn((2 * window - 1) ** 2, num_heads) * 0.02)
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window), torch.arange(window), indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = (flat[:, :, None] - flat[:, None, :]).permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window - 1
+        rel[:, :, 1] += window - 1
+        rel[:, :, 0] *= 2 * window - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        h = self.num_heads
+        qkv = self.qkv(x).reshape(B_, N, 3, h, C // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(N, N, h)
+        att = att + bias.permute(2, 0, 1).unsqueeze(0)
+        if mask is not None:
+            nW = mask.shape[0]
+            att = att.view(B_ // nW, nW, h, N, N) + mask[None, :, None]
+            att = att.view(B_, h, N, N)
+        att = att.softmax(-1)
+        out = (att @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(out)
+
+
+class _TorchSwinBlock(torch.nn.Module):
+    """Reference SwinTransformerBlock (htsat.py:354-476), eval mode."""
+
+    def __init__(self, dim, res, num_heads, window, shift):
+        super().__init__()
+        tnn = torch.nn
+        self.res, self.window, self.shift = res, window, shift
+        if min(res) <= window:
+            self.shift, self.window = 0, min(res)
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn = _TorchWindowAttention(dim, self.window, num_heads)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+        self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+        if self.shift > 0:
+            H, W = res
+            img = torch.zeros(1, H, W, 1)
+            cnt = 0
+            for hs in (slice(0, -self.window), slice(-self.window, -self.shift),
+                       slice(-self.shift, None)):
+                for ws in (slice(0, -self.window), slice(-self.window, -self.shift),
+                           slice(-self.shift, None)):
+                    img[:, hs, ws, :] = cnt
+                    cnt += 1
+            mw = img.view(1, H // self.window, self.window, W // self.window,
+                          self.window, 1)
+            mw = mw.permute(0, 1, 3, 2, 4, 5).reshape(-1, self.window ** 2)
+            am = mw.unsqueeze(1) - mw.unsqueeze(2)
+            am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+            self.register_buffer("attn_mask", am)
+        else:
+            self.attn_mask = None
+
+    def forward(self, x):
+        H, W = self.res
+        B, L, C = x.shape
+        w = self.window
+        shortcut = x
+        x = self.norm1(x).view(B, H, W, C)
+        if self.shift > 0:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+        xw = x.view(B, H // w, w, W // w, w, C).permute(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(-1, w * w, C)
+        xw = self.attn(xw, self.attn_mask)
+        x = xw.view(B, H // w, W // w, w, w, C).permute(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, H, W, C)
+        if self.shift > 0:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + x.view(B, L, C)
+        return x + self.mlp.fc2(
+            torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class TorchHTSAT(torch.nn.Module):
+    """Faithful torch twin of the reference HTSAT_Swin_Transformer
+    (/root/reference/retrieval/models/htsat.py:588-958) at the TINY
+    geometry, with the reference checkpoint's exact state_dict key layout
+    (bn0, patch_embed.{proj,norm}, layers.{i}.blocks.{j}.*,
+    layers.{i}.downsample.{norm,reduction}, norm, tscam_conv) so
+    ``convert_htsat`` consumes ``state_dict()`` unchanged. Covers every
+    stage the structural test could not: reshape_wav2img bicubic, patch
+    embed, shifted windows with real rel-pos bias, patch merging, frequency
+    regrouping and the TSCAM head — with real random numbers."""
+
+    def __init__(self, spec_size=64, patch=4, embed_dim=16, depths=(2, 2),
+                 heads=(2, 4), window=4, n_mels=16, num_classes=527):
+        super().__init__()
+        tnn = torch.nn
+        self.spec_size, self.n_mels, self.depths = spec_size, n_mels, depths
+        self.patch = patch
+        self.fr = spec_size // n_mels
+        self.bn0 = tnn.BatchNorm2d(n_mels)
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(1, embed_dim, patch, patch)
+        self.patch_embed.norm = tnn.LayerNorm(embed_dim)
+        res = (spec_size // patch, spec_size // patch)
+        self.layers = tnn.ModuleList()
+        for i, depth in enumerate(depths):
+            dim = embed_dim * 2 ** i
+            layer = tnn.Module()
+            layer.blocks = tnn.ModuleList([
+                _TorchSwinBlock(dim, res, heads[i], window,
+                                0 if j % 2 == 0 else window // 2)
+                for j in range(depth)
+            ])
+            if i < len(depths) - 1:
+                layer.downsample = tnn.Module()
+                layer.downsample.norm = tnn.LayerNorm(4 * dim)
+                layer.downsample.reduction = tnn.Linear(4 * dim, 2 * dim,
+                                                        bias=False)
+                res = (res[0] // 2, res[1] // 2)
+            else:
+                layer.downsample = None
+            self.layers.append(layer)
+        nf = embed_dim * 2 ** (len(depths) - 1)
+        self.norm = tnn.LayerNorm(nf)
+        sf = spec_size // 2 ** (len(depths) - 1) // patch // self.fr
+        self.tscam_conv = tnn.Conv2d(nf, num_classes, (sf, 3), padding=(0, 1))
+
+    def _reshape_wav2img(self, x):
+        tF = torch.nn.functional
+        B, C, T, F = x.shape
+        target_T = self.spec_size * self.fr
+        target_F = self.spec_size // self.fr
+        if T < target_T:
+            x = tF.interpolate(x, (target_T, x.shape[3]), mode="bicubic",
+                               align_corners=True)
+        if F < target_F:
+            x = tF.interpolate(x, (x.shape[2], target_F), mode="bicubic",
+                               align_corners=True)
+        x = x.permute(0, 1, 3, 2).contiguous()   # B C F T
+        x = x.reshape(B, C, x.shape[2], self.fr, x.shape[3] // self.fr)
+        x = x.permute(0, 1, 3, 2, 4).contiguous()
+        return x.reshape(B, C, x.shape[2] * x.shape[3], x.shape[4])
+
+    def forward(self, spec):
+        x = spec[:, None]                         # [B, 1, T, F]
+        x = self.bn0(x.transpose(1, 3)).transpose(1, 3)
+        x = self._reshape_wav2img(x)
+        frames_num = x.shape[2]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = self.patch_embed.norm(x)
+        for layer in self.layers:
+            for blk in layer.blocks:
+                x = blk(x)
+            if layer.downsample is not None:
+                B, L, C = x.shape
+                H = W = int(L ** 0.5)
+                x = x.view(B, H, W, C)
+                x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                               x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+                x = x.view(B, -1, 4 * C)
+                x = layer.downsample.reduction(layer.downsample.norm(x))
+        x = self.norm(x)
+        B, N, C = x.shape
+        SF = frames_num // 2 ** (len(self.depths) - 1) // self.patch
+        ST = SF
+        x = x.permute(0, 2, 1).reshape(B, C, SF, ST)
+        cfb = SF // self.fr
+        x = x.reshape(B, C, SF // cfb, cfb, ST).permute(0, 1, 3, 2, 4)
+        x = x.reshape(B, C, cfb, -1)
+        fine = torch.repeat_interleave(x.mean(2).permute(0, 2, 1),
+                                       8 * self.patch, dim=1)
+        latent = x.flatten(2).mean(-1)
+        t = self.tscam_conv(x).flatten(2)         # [B, classes, T']
+        fpx = torch.repeat_interleave(torch.sigmoid(t).permute(0, 2, 1),
+                                      8 * self.patch, dim=1)
+        return {
+            "embedding": latent,
+            "fine_grained_embedding": fine,
+            "framewise_output": fpx,
+            "clipwise_output": torch.sigmoid(t.mean(-1)),
+        }
+
+
+def _randomize_torch_htsat(tm, rng):
+    """Real random weights everywhere — LN/BN included — so any
+    transposition or mis-grouping in the converter shows up numerically."""
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if name.endswith("bias"):
+                p.copy_(torch.from_numpy(
+                    rng.standard_normal(p.shape).astype(np.float32) * 0.1))
+            elif p.ndim == 1:  # LN/BN scales
+                p.copy_(torch.from_numpy(
+                    (1.0 + 0.2 * rng.standard_normal(p.shape)).astype(np.float32)))
+            else:
+                p.copy_(torch.from_numpy(
+                    rng.standard_normal(p.shape).astype(np.float32)
+                    * (0.5 / np.sqrt(p.shape[-1]))))
+        tm.bn0.running_mean.copy_(torch.from_numpy(
+            rng.standard_normal(tm.n_mels).astype(np.float32) * 0.3))
+        tm.bn0.running_var.copy_(torch.from_numpy(
+            0.5 + rng.random(tm.n_mels).astype(np.float32)))
+
+
+def test_convert_htsat_numeric_end_to_end():
+    """Round-4 VERDICT #1: real random weights through the torch twin
+    (reference state_dict layout) spec->outputs, converted via
+    convert_htsat, must match HTSAT.__call__ on the XLA path AND the fused
+    Pallas paths (fused_attn, fused_block) to fp32 golden tolerance."""
+    torch.manual_seed(0)
+    rng = np.random.default_rng(42)
+    tm = TorchHTSAT()
+    _randomize_torch_htsat(tm, rng)
+    tm.eval()
+
+    spec = rng.standard_normal((2, 100, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = {k: v.numpy() for k, v in tm(torch.from_numpy(spec)).items()}
+
+    from zs_aac_tpu.models.convert import convert_htsat
+
+    variables = jax.tree.map(jnp.asarray,
+                             convert_htsat(tm.state_dict(), depths=TINY["depths"]))
+
+    for fused in ({}, {"fused_attn": True}, {"fused_attn": True,
+                                             "fused_block": True}):
+        model = HTSAT(**TINY, **fused)
+        got = jax.jit(
+            lambda v, s: model.apply(v, s, train=False, return_dict=True)
+        )(variables, jnp.asarray(spec))
+        np.testing.assert_allclose(
+            np.asarray(got["embedding"]), want["embedding"],
+            rtol=2e-4, atol=2e-4, err_msg=f"embedding {fused}")
+        np.testing.assert_allclose(
+            np.asarray(got["clipwise_output"]), want["clipwise_output"],
+            rtol=2e-4, atol=2e-4, err_msg=f"clipwise {fused}")
+        np.testing.assert_allclose(
+            np.asarray(got["framewise_output"]), want["framewise_output"],
+            rtol=2e-4, atol=2e-4, err_msg=f"framewise {fused}")
+        np.testing.assert_allclose(
+            np.asarray(got["fine_grained_embedding"]),
+            want["fine_grained_embedding"],
+            rtol=2e-4, atol=2e-4, err_msg=f"fine_grained {fused}")

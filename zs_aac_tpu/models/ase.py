@@ -91,6 +91,10 @@ class ASEConfig:
     text_model: str = "bert-base-uncased"
     spec_augmentation: bool = True
     audio_channels: Optional[tuple] = None  # override Cnn14 widths (tests)
+    # override HTSAT geometry (tests / small configs): a tuple of
+    # (key, value) pairs passed through to models.htsat.HTSAT — a tuple
+    # (not a dict) so the frozen config stays hashable.
+    htsat_kwargs: Optional[tuple] = None
     # fused Pallas window attention in HTSAT (1.38x on the full trunk at
     # B=64 bf16 on v5e, chained-dep timing). Training-capable: the kernel
     # carries a custom_vjp whose backward is the standard XLA attention
@@ -164,11 +168,12 @@ class ASE(nn.Module):
         elif c.audio_encoder == "htsat":
             from zs_aac_tpu.models.htsat import HTSAT
 
-            self.audio_enc = HTSAT(
+            kw = dict(
                 spec_augmentation=c.spec_augmentation, dtype=c.dtype,
                 fused_attn=c.fused_attn, fused_block=c.fused_block,
-                name="audio_enc"
             )
+            kw.update(dict(c.htsat_kwargs) if c.htsat_kwargs else {})
+            self.audio_enc = HTSAT(name="audio_enc", **kw)
         else:
             raise ValueError(f"unknown audio encoder {c.audio_encoder!r}")
         if c.text_model in CLIP_TEXT_REGISTRY:

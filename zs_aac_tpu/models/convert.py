@@ -129,15 +129,25 @@ def _convert_resnet_block(params, stats, sd, src, dst):
             break
 
 
-def convert_htsat(state_dict: Mapping, depths=(2, 2, 6, 2)) -> dict:
+def convert_htsat(state_dict: Mapping, depths=None) -> dict:
     """HTSAT (WavCaps ``HTSAT.ckpt`` / CLAP audio tower) state_dict ->
     variables for ``models.htsat.HTSAT``.
 
     Mirrors the reference's key surgery (skip spectrogram_extractor /
     logmel_extractor / spec_augmenter; the unused ``head`` Linear is also
     dropped — the embedding path never applies it, htsat.py:957).
+    ``depths`` defaults to inferring the stage/block structure from the
+    ``layers.{i}.blocks.{j}`` keys themselves.
     """
     sd = to_numpy_state_dict(state_dict)
+    if depths is None:
+        found = {}
+        for k in sd:
+            m = re.match(r"layers\.(\d+)\.blocks\.(\d+)\.", k)
+            if m:
+                i, j = int(m.group(1)), int(m.group(2))
+                found[i] = max(found.get(i, 0), j + 1)
+        depths = tuple(found[i] for i in sorted(found))
     params, stats = {}, {}
 
     def put_ln(path, prefix):

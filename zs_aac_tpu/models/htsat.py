@@ -496,7 +496,12 @@ class HTSAT(nn.Module):
         if not return_dict:
             return embedding
 
-        fine_grained = jnp.mean(x, axis=2)  # [B, C, T']
+        # Fine-grained latent: mean over the regrouped freq bins, then the
+        # reference's nearest-neighbour time upsample (htsat.py:836-841 —
+        # ``interpolate`` repeats each step 8*patch_stride times) to
+        # [B, T'*8*ps, C].
+        fine_grained = jnp.mean(x, axis=2).transpose(0, 2, 1)  # [B, T', C]
+        fine_grained = jnp.repeat(fine_grained, 8 * self.patch_stride, axis=1)
         # Token-semantic conv head: kernel (c_freq_bin, 3), padding (0, 1).
         xt = x.transpose(0, 2, 3, 1)  # NHWC
         logits_map = nn.Conv(
