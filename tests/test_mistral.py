@@ -59,7 +59,9 @@ def test_mistral_matches_hf():
         want = tm(input_ids=torch.tensor(ids)).logits.numpy()
     emb = mistral_embed(params, jnp.asarray(ids))
     got = np.asarray(mistral_forward(params, MCFG, emb))
-    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    # fp32 CPU golden is tight (measured max abs err 9e-8 on this toy);
+    # round-3's 5e-3 was unneeded slack — keep the foundation airtight.
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_mistral_cache_matches_full():
@@ -236,3 +238,77 @@ def test_mistral_q8_cache_matches_float_cache():
                                      q8_cache=True)
     agree = (np.asarray(t_f) == np.asarray(t_q)).mean()
     assert agree >= 0.9, (agree, np.asarray(t_f), np.asarray(t_q))
+
+
+def test_mistral_greedy_matches_hf_generate():
+    """Round-4 VERDICT #5: the reference's multilingual predict decodes with
+    HF ``model.LMmodel.generate(inputs_embeds=prefix_embed, do_sample=False,
+    max_length=60, eos_token_id=2, pad_token_id=2)``
+    (/root/reference/predict_mistralai_multilingual.py:108-118). This
+    framework's ``mistral_greedy_decode`` must emit token-identical ids on
+    converted weights — with the reference's exact call shape: prefix =
+    [hard-prompt embeds | mapper rows | lang-tag embeds], LoRA deltas
+    applied (merged into the HF weights; unmerged float deltas here), and
+    the lang-tag swap (two tags -> two decodes, each bit-faithful)."""
+    from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
+
+    tm = _hf_mistral()
+    params = jax.tree.map(jnp.asarray, convert_mistral(tm.state_dict(), MCFG))
+
+    # nonzero LoRA on all 8 sites, merged into the torch weights
+    rng = np.random.default_rng(5)
+    lora = init_lora(jax.random.key(3), MCFG, r=4, alpha=8)
+    lora = jax.tree.map(
+        lambda x: jnp.asarray(rng.standard_normal(x.shape).astype(np.float32)
+                              * 0.02) if x.ndim == 2 else x, lora)
+    scale = float(lora["alpha"]) / float(lora["r"])
+    site_map = {
+        "wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+        "wv": "self_attn.v_proj", "wo": "self_attn.o_proj",
+        "gate": "mlp.gate_proj", "up": "mlp.up_proj", "down": "mlp.down_proj",
+    }
+    with torch.no_grad():
+        for i, layer in enumerate(lora["layers"]):
+            for site, hf_name in site_map.items():
+                mod = dict(tm.model.layers[i].named_modules())[hf_name]
+                delta = np.asarray(layer[site]["a"] @ layer[site]["b"]) * scale
+                mod.weight += torch.from_numpy(delta.T)
+        delta = np.asarray(lora["lm_head"]["a"] @ lora["lm_head"]["b"]) * scale
+        tm.lm_head.weight += torch.from_numpy(delta.T)
+
+    # reference call shape: [hard prompt | soft prefix | 3-token lang tag]
+    B = 2
+    hard_ids = rng.integers(3, MCFG.vocab_size, (B, 4))
+    soft = (rng.standard_normal((B, 3, MCFG.hidden_size)) * 0.5).astype(np.float32)
+    for tag_ids in ([5, 6, 7], [8, 9, 10]):  # the lang-tag swap
+        tags = np.tile(np.asarray(tag_ids), (B, 1))
+        with torch.no_grad():
+            emb_t = torch.cat([
+                tm.model.embed_tokens(torch.from_numpy(hard_ids)),
+                torch.from_numpy(soft),
+                tm.model.embed_tokens(torch.from_numpy(tags)),
+            ], dim=1)
+            hf_out = tm.generate(
+                inputs_embeds=emb_t,
+                attention_mask=torch.ones(emb_t.shape[:-1], dtype=torch.long),
+                do_sample=False, max_new_tokens=24,
+                eos_token_id=2, pad_token_id=2,
+            ).numpy()
+
+        prefix = jnp.concatenate([
+            mistral_embed(params, jnp.asarray(hard_ids)),
+            jnp.asarray(soft),
+            mistral_embed(params, jnp.asarray(tags)),
+        ], axis=1)
+        toks, lengths = mistral_greedy_decode(params, MCFG, prefix,
+                                              lora, 24, 2)
+        toks, lengths = np.asarray(toks), np.asarray(lengths)
+        for b in range(B):
+            hf_row = hf_out[b]
+            # HF emits the eos then pads with pad_token_id=2; ours zero-fills
+            # after eos and excludes it (skip_special_tokens semantics)
+            eos_pos = np.nonzero(hf_row == 2)[0]
+            hf_new = hf_row[: eos_pos[0]] if eos_pos.size else hf_row
+            assert lengths[b] == len(hf_new), (lengths[b], hf_row, toks[b])
+            np.testing.assert_array_equal(toks[b, : lengths[b]], hf_new,
+                                          err_msg=f"row {b} tag {tag_ids}")
