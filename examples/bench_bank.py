@@ -56,11 +56,25 @@ enc, _ = make_encode_fns(ase, mel_cfg, mel_impl="pallas")
 def encode_audio(waves):
     return np.asarray(enc(variables, jnp.asarray(waves))).astype(np.float32)
 
+def encode_audio_pcm(pcm, sr_in, target_len):
+    from zs_aac_tpu.ops.resample import resample_poly_device
+    waves = resample_poly_device(jnp.asarray(pcm), sr_in, TARGET_SR, target_len)
+    return np.asarray(enc(variables, waves)).astype(np.float32)
+
+if os.environ.get("BANK_PCM", "1") == "1":
+    encode_audio.pcm = encode_audio_pcm  # int16 native-rate upload + device resample
+
 # warm up (compile) and host decode-rate probe
 w0 = np.stack([pad_or_truncate(load_audio(f"{D}/c{i:04d}.wav", TARGET_SR), n)
                for i in range(BATCH)])
 _ = float(encode_audio(w0)[0, 0])
 _ = float(encode_audio(w0 * 1.01)[0, 0])
+if hasattr(encode_audio, "pcm"):
+    from zs_aac_tpu.data.audio_io import load_audio_raw
+    p0 = np.stack([pad_or_truncate(load_audio_raw(f"{D}/c{i:04d}.wav")[0],
+                                   SR * 10) for i in range(BATCH)])
+    _ = float(encode_audio.pcm(p0, SR, n)[0, 0])
+    _ = float(encode_audio.pcm(p0 + 1, SR, n)[0, 0])
 print("warm", flush=True)
 
 t0 = time.perf_counter()
@@ -68,6 +82,13 @@ for i in range(BATCH):
     load_audio(f"{D}/c{i:04d}.wav", TARGET_SR)
 host_rate = BATCH / (time.perf_counter() - t0)
 print(f"host decode+resample alone: {host_rate:.0f} clips/s", flush=True)
+if hasattr(encode_audio, "pcm"):
+    from zs_aac_tpu.data.audio_io import load_audio_raw
+    t0 = time.perf_counter()
+    for i in range(BATCH):
+        load_audio_raw(f"{D}/c{i:04d}.wav")
+    print(f"host RAW int16 decode alone: {BATCH/(time.perf_counter()-t0):.0f} clips/s",
+          flush=True)
 
 args = dict(sr=TARGET_SR, max_length=10)
 t0 = time.perf_counter()

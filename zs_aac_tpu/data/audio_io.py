@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_wav", "resample", "load_audio", "pad_or_truncate", "random_crop"]
+__all__ = ["load_wav", "resample", "load_audio", "load_audio_raw", "pad_or_truncate", "random_crop"]
 
 _NATIVE = None
 
@@ -121,3 +121,42 @@ def random_crop(x: np.ndarray, n_samples: int, rng: Optional[np.random.Generator
     rng = rng or np.random.default_rng()
     start = int(rng.integers(0, len(x) - n_samples + 1))
     return x[start : start + n_samples]
+
+
+def load_audio_raw(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode a WAV to int16 PCM at its NATIVE rate -> (pcm [n] i16, sr),
+    or None when the device-resample fast path shouldn't be used (non-WAV,
+    or 24/32-bit where int16 shipping would lose precision).
+
+    The embedding pipeline ships this straight to the device and resamples
+    there (``ops/resample.py``): 16-bit mono sources ship LOSSLESSLY at
+    half-to-quarter the bytes of the resampled fp32 wave — the round-3
+    bank build was bound by exactly that upload (BASELINE.md). Stereo is
+    mixed to mono in float then rounded (<=0.5 LSB vs the float path).
+    """
+    if not path.lower().endswith(".wav"):
+        return None
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+    except (wave.Error, OSError, EOFError):
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, "<i2")
+        if ch > 1:
+            x = np.round(
+                x.reshape(-1, ch).mean(axis=1, dtype=np.float64)
+            ).astype(np.int16)
+        return x, sr
+    if width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.int16) - 128) << 8
+        if ch > 1:
+            x = np.round(
+                x.reshape(-1, ch).mean(axis=1, dtype=np.float64)
+            ).astype(np.int16)
+        return x, sr
+    return None  # 24/32-bit: keep the full-precision host path

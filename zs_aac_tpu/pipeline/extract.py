@@ -87,6 +87,20 @@ def load_ase_encoders(config: dict, ckpt: Optional[str] = None):
     def encode_audio(waves: np.ndarray) -> np.ndarray:
         return np.asarray(enc_a(variables, jnp.asarray(waves))).astype(np.float32)
 
+    def encode_audio_pcm(pcm: np.ndarray, sr_in: int, target_len: int) -> np.ndarray:
+        """int16 PCM at the file's native rate -> embeddings. Ships 2-byte
+        samples through the host->device link and resamples ON DEVICE
+        (``ops/resample.py``, one MXU matmul; matches the native host
+        resampler to fp32 rounding) — the round-3 bank build was bound by
+        the fp32 wave upload (BASELINE.md round-4 notes)."""
+        from zs_aac_tpu.ops.resample import resample_poly_device
+
+        waves = resample_poly_device(jnp.asarray(pcm), sr_in, mel_cfg.sr,
+                                     target_len)
+        return np.asarray(enc_a(variables, waves)).astype(np.float32)
+
+    encode_audio.pcm = encode_audio_pcm  # opt-in fast path (same closure)
+
     def encode_text(texts: Sequence[str]) -> np.ndarray:
         ids, mask = tokenizer.batch_encode(
             [text_preprocess(t) for t in texts], max_length=30, pad_to_max=True
@@ -124,12 +138,28 @@ def extract_audio_text_bank(
 
     sr = audio_args["sr"]
     n = audio_args.get("max_length", 10) * sr
+    max_length = audio_args.get("max_length", 10)
+    use_pcm = hasattr(encode_audio, "pcm")
 
     def load_chunk(chunk):
-        return np.stack(
+        """-> ("pcm", int16 [B, max_length*sr_native], sr_native) when every
+        clip is an 8/16-bit WAV sharing one native rate (decode-only host
+        work; device resamples), else ("f32", float32 [B, n], None) — the
+        full host decode+resample path."""
+        if use_pcm:
+            from zs_aac_tpu.data.audio_io import load_audio_raw
+
+            raws = [load_audio_raw(id2file[a["audio_id"]]) for a in chunk]
+            srs = {r[1] for r in raws if r is not None}
+            if all(r is not None for r in raws) and len(srs) == 1:
+                sr_in = srs.pop()
+                n_in = max_length * sr_in
+                return ("pcm",
+                        np.stack([pad_or_truncate(r[0], n_in) for r in raws]),
+                        sr_in)
+        return ("f32", np.stack(
             [pad_or_truncate(load_audio(id2file[a["audio_id"]], sr), n)
-             for a in chunk]
-        )
+             for a in chunk]), None)
 
     chunks = []
     for s in range(0, len(audios), batch_size):
@@ -148,10 +178,13 @@ def extract_audio_text_bank(
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = ex.submit(load_chunk, chunks[0]) if chunks else None
         for ci, chunk in enumerate(chunks):
-            waves = pending.result()
+            kind, waves, sr_in = pending.result()
             pending = (ex.submit(load_chunk, chunks[ci + 1])
                        if ci + 1 < len(chunks) else None)
-            audio_embs = encode_audio(waves)
+            if kind == "pcm":
+                audio_embs = encode_audio.pcm(waves, sr_in, n)
+            else:
+                audio_embs = encode_audio(waves)
             if with_text:
                 caps, owners = [], []
                 for i, a in enumerate(chunk):
