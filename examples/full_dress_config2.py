@@ -99,9 +99,16 @@ def main():
     os.makedirs(root, exist_ok=True)
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    times = {}
+    times_path = os.path.join(root, "stage_times.json")
+    # resume guard: a stage with a recorded time already completed in a prior
+    # (possibly interrupted) run against the same workdir — skip it.
+    times = json.load(open(times_path)) if os.path.exists(times_path) else {}
 
     def run(stage, *args):
+        if stage in times:
+            print(f"\n[{stage}] done in prior run ({times[stage]} s) — skip",
+                  flush=True)
+            return
         print(f"\n[{stage}] $ python -m {' '.join(args)}", flush=True)
         t0 = time.perf_counter()
         subprocess.run([sys.executable, "-m", *args], check=True, env=env)

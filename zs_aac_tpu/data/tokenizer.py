@@ -112,6 +112,14 @@ class GPT2BPETokenizer:
         data = bytearray(self.byte_decoder[c] for c in text)
         return data.decode("utf-8", errors="replace")
 
+    def token_bytes(self, token_id: int) -> bytes:
+        """Raw UTF-8 bytes of one token. ``decode(ids)`` is exactly the
+        concatenation of each id's ``token_bytes`` utf-8-decoded, which is
+        what makes incremental decoding (append bytes, split at ASCII
+        whitespace) exact — see decoding/magic.py's incremental WordPiece
+        path."""
+        return bytes(self.byte_decoder[c] for c in self.decoder[int(token_id)])
+
     @property
     def vocab_size(self) -> int:
         return len(self.encoder)

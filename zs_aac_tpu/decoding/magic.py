@@ -39,7 +39,7 @@ from zs_aac_tpu.models.gpt2 import (
 )
 
 __all__ = ["magic_search", "magic_search_batched", "generate_beam_magic",
-           "make_magic_scorer", "clap_logprobs"]
+           "make_magic_scorer", "clap_logprobs", "IncrementalWordPiece"]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4, 8))
@@ -181,6 +181,7 @@ def make_magic_scorer(
         scorer.device = types.SimpleNamespace(
             apply_fn=dev.apply_fn, variables=dev.variables,
             tokenize=dev.tokenize, temp=temp, tokenizer=tokenizer,
+            wordpiece=getattr(dev, "wordpiece", None),
         )
     return scorer
 
@@ -324,8 +325,101 @@ def _load_ase_text_encoder(path: str):
 
     encode.device = types.SimpleNamespace(
         apply_fn=_apply, variables=variables, tokenize=_tokenize,
+        wordpiece=wp,
     )
     return encode
+
+
+class IncrementalWordPiece:
+    """Incremental LM-token-bytes -> WordPiece-ids pipeline for the MAGIC
+    host loop (round-4 VERDICT #6).
+
+    Reference semantics re-encode each candidate's FULL decoded string
+    through the CLAP text tower every step
+    (``/root/reference/gpt2_prefix_eval.py:549``), but they do not require
+    re-*tokenizing* the unchanged committed prefix on the host B*k times per
+    step. This class keeps, per clip:
+
+    - ``stable``: WordPiece ids of every word of the committed text strictly
+      before its last ASCII-whitespace byte, and
+    - ``tail``: the raw bytes after that whitespace.
+
+    Appending a candidate token's bytes can only change basic tokenization
+    from the last whitespace onward (BERT basic tokenization splits
+    definitively at whitespace, and bytes < 0x80 never occur inside a
+    multi-byte UTF-8 sequence, so the byte-level split is character-safe).
+    Per candidate the host therefore WordPiece-tokenizes only
+    ``tail + token_bytes`` — O(one word), not O(caption) — and once the
+    stable prefix already fills the text tower's ``max_length - 2`` piece
+    budget it tokenizes nothing at all (extra pieces would be truncated
+    anyway). Exactness vs full re-tokenization is tested in
+    tests/test_magic_and_drivers.py."""
+
+    _WS = (b" ", b"\t", b"\n", b"\r")
+
+    def __init__(self, wp, lm_tokenizer, batch: int, max_length: int = 30):
+        self.wp = wp
+        self.lm = lm_tokenizer
+        self.body = max_length - 2                      # room next to CLS/SEP
+        self.max_length = max_length
+        self.stable: List[List[int]] = [[] for _ in range(batch)]
+        self.tail: List[bytes] = [b"" for _ in range(batch)]
+        self._unk = wp.stoi[wp.unk]
+        self._cls = wp.stoi[wp.cls]
+        self._sep = wp.stoi[wp.sep]
+        self._pad = wp.stoi.get(wp.pad, 0)
+        self._tok_bytes: dict = {}
+        self._piece_cache: dict = {}
+
+    def _bytes(self, tid: int) -> bytes:
+        b = self._tok_bytes.get(tid)
+        if b is None:
+            b = self._tok_bytes[tid] = self.lm.token_bytes(tid)
+        return b
+
+    def _pieces(self, data: bytes) -> List[int]:
+        ids = self._piece_cache.get(data)
+        if ids is None:
+            stoi = self.wp.stoi
+            ids = [stoi.get(t, self._unk)
+                   for t in self.wp.tokenize(data.decode("utf-8", "replace"))]
+            self._piece_cache[data] = ids
+        return ids
+
+    def candidate_rows(self, b: int, cand_token_ids) -> List[List[int]]:
+        """WordPiece ids (no specials, untruncated) for each candidate LM
+        token appended to clip ``b``'s committed text."""
+        st = self.stable[b]
+        if len(st) >= self.body:        # truncation makes the tail invisible
+            return [st for _ in cand_token_ids]
+        tl = self.tail[b]
+        return [st + self._pieces(tl + self._bytes(int(t)))
+                for t in cand_token_ids]
+
+    def commit(self, b: int, token_id: int) -> None:
+        """Append the selected LM token to clip ``b``'s committed text."""
+        if len(self.stable[b]) >= self.body:
+            return
+        data = self.tail[b] + self._bytes(int(token_id))
+        cut = max(data.rfind(w) for w in self._WS)
+        if cut >= 0:
+            self.stable[b] = self.stable[b] + self._pieces(data[:cut])
+            self.tail[b] = data[cut + 1:]
+        else:
+            self.tail[b] = data
+
+    def matrix(self, rows: List[List[int]]) -> np.ndarray:
+        """CLS/SEP-wrap, truncate, and pad to the smallest {8,16,30} length
+        bucket — identical layout to the full-retokenize ``dev.tokenize``
+        upload (int16 ids, PAD id fill)."""
+        wrapped = [[self._cls] + r[: self.body] + [self._sep] for r in rows]
+        longest = max(len(r) for r in wrapped)
+        bucket = next((bk for bk in (8, 16, self.max_length) if longest <= bk),
+                      longest)
+        ids = np.full((len(wrapped), bucket), self._pad, np.int16)
+        for i, r in enumerate(wrapped):
+            ids[i, : len(r)] = r
+        return ids
 
 
 def magic_search_batched(
@@ -395,6 +489,14 @@ def magic_search_batched(
         fused = _fused_magic_step_for(dev.apply_fn, cfg, quant)
         audio_dev = jnp.asarray(audio_embeds)
         tokenizer = dev.tokenizer
+        # Incremental host tokenization (VERDICT #6): available whenever the
+        # LM tokenizer exposes per-token bytes (GPT2BPETokenizer) and the
+        # scorer carries its raw WordPiece tokenizer. Falls back to full
+        # per-candidate re-tokenization otherwise (WordTokenizer tests).
+        wp = getattr(dev, "wordpiece", None)
+        incr = (IncrementalWordPiece(wp, tokenizer, B)
+                if wp is not None and hasattr(tokenizer, "token_bytes")
+                else None)
         for step in range(decoding_len):
             packed_np = np.asarray(packed)      # single fetch per step
             if packed_np.shape[0] == 3:          # planes 0/1 = next cands;
@@ -402,14 +504,21 @@ def magic_search_batched(
                 for b in range(B):
                     if not finished[b]:
                         generated[b].append(int(toks[b]))
+                        if incr is not None:
+                            incr.commit(b, int(toks[b]))
                         if toks[b] == stop_token_id:
                             finished[b] = True
                 if finished.all():
                     break
             top_ids = packed_np[0].astype(np.int64)
-            texts = [tokenizer.decode(generated[b] + [int(t)])
-                     for b in range(B) for t in top_ids[b]]
-            ids_np = dev.tokenize(texts)  # ONE compact upload per step
+            if incr is not None:
+                rows = [r for b in range(B)
+                        for r in incr.candidate_rows(b, top_ids[b])]
+                ids_np = incr.matrix(rows)
+            else:
+                texts = [tokenizer.decode(generated[b] + [int(t)])
+                         for b in range(B) for t in top_ids[b]]
+                ids_np = dev.tokenize(texts)  # ONE compact upload per step
             packed, plogits, new_kv, next_hidden, cache, context = fused(
                 gpt2_params, dev.variables, cache, new_kv, packed, plogits,
                 next_hidden, context, jnp.asarray(ids_np),
