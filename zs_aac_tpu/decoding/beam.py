@@ -258,7 +258,7 @@ def _grow_beam_cache(cache, new_len: int):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7))
 def beam_search(
     params: dict,
     cfg: GPT2Config,
@@ -267,6 +267,7 @@ def beam_search(
     entry_length: int = 67,
     stop_token_id: int = 13,
     temperature: float = 1.0,
+    fast_softmax: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens [beam, entry_length], seq_lengths [beam], scores [beam]).
 
@@ -276,12 +277,12 @@ def beam_search(
     """
     tokens, seq_lengths, scores = beam_search_batched(
         params, cfg, prefix_embeds, beam_size, entry_length, stop_token_id,
-        temperature,
+        temperature, fast_softmax,
     )
     return tokens[0], seq_lengths[0], scores[0]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7))
 def beam_search_batched(
     params: dict,
     cfg: GPT2Config,
@@ -290,19 +291,26 @@ def beam_search_batched(
     entry_length: int = 67,
     stop_token_id: int = 13,
     temperature: float = 1.0,
+    fast_softmax: bool = False,
 ):
     """Beam search over a clip batch — the reference's per-clip semantics
     with the beam dim folded into the batch so the whole eval set decodes in
     a few device programs instead of one per clip. Returns
     (tokens [B, beam, entry_length], seq_lengths [B, beam],
     scores [B, beam] length-normalized).
+
+    ``fast_softmax=True`` (opt-in, never a default) runs each layer's
+    attention softmax in bf16 instead of f32 — the last residue in the
+    B=64 beam profile. Candidate *selection* (``_beam_select``) stays fp32
+    exact; agreement slack vs the exact path is quantified on learned
+    weights (tests/test_quantized_decode.py, BASELINE.md).
     """
     return _beam_batched_body(params, cfg, prefix_embeds, beam_size,
                               entry_length, stop_token_id, temperature,
-                              quant=False)
+                              quant=False, fast_softmax=fast_softmax)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7))
 def beam_search_batched_q8(
     params: dict,
     cfg: GPT2Config,
@@ -311,17 +319,19 @@ def beam_search_batched_q8(
     entry_length: int = 67,
     stop_token_id: int = 13,
     temperature: float = 1.0,
+    fast_softmax: bool = False,
 ):
     """``beam_search_batched`` over the int8 KV cache (serving fast path;
     exact-caption agreement on learned weights is validated in
     tests/test_quantized_decode.py). Accepts int8-quantized weights too."""
     return _beam_batched_body(params, cfg, prefix_embeds, beam_size,
                               entry_length, stop_token_id, temperature,
-                              quant=True)
+                              quant=True, fast_softmax=fast_softmax)
 
 
 def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
-                       stop_token_id, temperature, quant, segments="auto"):
+                       stop_token_id, temperature, quant, segments="auto",
+                       fast_softmax=False):
     from zs_aac_tpu.models.gpt2 import (
         gpt2_prefill_q8,
         gpt2_step_beam_q8,
@@ -382,11 +392,13 @@ def _beam_batched_body(params, cfg, prefix_embeds, beam_size, entry_length,
     is_stopped = first == stop_token_id
     cur = first.astype(jnp.int32)                        # [B, K]
 
+    smax = jnp.bfloat16 if fast_softmax else jnp.float32
+
     def body(state):
         i, tokens, cache, anc, scores, seq_lengths, is_stopped, cur = state
         emb = gpt2_embed(params, cur.reshape(-1))        # [B*K, D]
         logits, cache, anc = step(params, cfg, emb, cache, anc, Lp + i - 1,
-                                  vocab_group=vgroup)
+                                  vocab_group=vgroup, softmax_dtype=smax)
         top_avg, src, nxt, new_len = _beam_select(
             logits, scores, seq_lengths, is_stopped, temperature, B, K,
             real_vocab=V)

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "but the probe cache stays bf16. Exact-caption "
                         "agreement validated on learned weights "
                         "(tests/test_quantized_decode.py)")
+    p.add_argument("--bf16_softmax", action="store_true",
+                   help="opt-in approx mode: run beam attention softmax in "
+                        "bf16 (selection stays fp32-exact); agreement slack "
+                        "quantified in BASELINE.md")
     return p
 
 
@@ -100,7 +104,12 @@ def main(argv=None):
     ds = CaptionBankTestDataset(args.data, tokenizer, dcfg)
     key2refs = ds.references()
 
-    prefix_dim = 1024 if saved.get("is_rn") else 512
+    # honor the recorded --prefix_dim (e.g. 1024-d CLAP); the is_rn default
+    # mirrors train_prompt.py:219. (Loading happened to survive a wrong
+    # template before this fix only because msgpack restore adopts the
+    # SAVED array shapes — ccfg.prefix_size would still be stale metadata.)
+    prefix_dim = saved.get("prefix_dim") or (1024 if saved.get("is_rn")
+                                             else 512)
     ccfg = CaptionConfig(
         prefix_length=saved["prefix_length"],
         prefix_size=prefix_dim,
@@ -207,7 +216,8 @@ def main(argv=None):
                         np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
                 if args.isbeam:
                     toks, lens, scores = decode_beam(
-                        gpt2_serving, ccfg.gpt2, emb, args.beam_size, 67, stop_id
+                        gpt2_serving, ccfg.gpt2, emb, args.beam_size, 67,
+                        stop_id, 1.0, args.bf16_softmax
                     )
                     toks, lens, scores = (np.asarray(toks), np.asarray(lens),
                                           np.asarray(scores))
