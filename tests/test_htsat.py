@@ -409,6 +409,55 @@ def test_fused_swin_block_matches_xla():
     assert np.isfinite(np.asarray(out_tr)).all()
 
 
+def test_fused_swin_block_streamed_matches_twin():
+    """The MLP-streamed whole-block kernel (round 4: stage-4 shapes whose
+    MLP weights exceed the VMEM-resident budget stream them in hidden-dim
+    chunks) must match the pure-jnp twin. Two shapes: (a) a multi-row
+    SHIFTED block with an oversized MLP in fp32 (tight tolerance — the
+    only reduction-order difference is the chunked f32 fc2 accumulator);
+    (b) HTSAT stage 4's exact eval shape (C=768, hidden=3072, heads=32,
+    8x8 res, window 8) in bf16, the serving dtype."""
+    from zs_aac_tpu.ops.window_attn import (
+        _pick_rows_block,
+        _pick_stream_block,
+        _reference_swin_block,
+        fused_swin_block,
+    )
+
+    def run(B, H, W, C, hidden, heads, window, shift, dtype, seed):
+        w = window
+        nH, nW, N = H // w, W // w, w * w
+        itemsize = jnp.dtype(dtype).itemsize
+        assert _pick_rows_block(nH, nW, N, C, heads, hidden, itemsize) is None
+        assert _pick_stream_block(nH, nW, N, C, heads, hidden,
+                                  itemsize) is not None
+        rng = np.random.default_rng(seed)
+        f = lambda *s: jnp.asarray(
+            (rng.standard_normal(s) * 0.05).astype(np.float32), dtype)
+        ones = lambda n: jnp.asarray(
+            1.0 + 0.05 * rng.standard_normal(n).astype(np.float32), dtype)
+        x = f(B, H, W, C)
+        args = (x, ones(C), f(C), f(C, 3 * C), f(3 * C), f(C, C), f(C),
+                ones(C), f(C), f(C, hidden), f(hidden), f(hidden, C), f(C),
+                jnp.asarray(rng.standard_normal(
+                    (nH, nW, heads, N, N)).astype(np.float32)))
+        out = fused_swin_block(*args, w, heads, shift, 1e-6)
+        ref = _reference_swin_block(*args, window=w, num_heads=heads,
+                                    shift=shift, eps=1e-6)
+        return np.asarray(out, np.float32), np.asarray(ref, np.float32)
+
+    out, ref = run(2, 16, 16, 128, 8192, 4, 8, 4, jnp.float32, 3)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    # bf16: the twin upcasts the MLP dots to fp32 while the kernel feeds
+    # the MXU bf16 operands (f32 accumulation) — input-rounding noise of
+    # ~2^-8 per operand accumulated through LN/attn/fc1(3072-sum)/fc2
+    # bounds the agreement, not the chunking (which case (a) pins at
+    # 2e-4). Outputs are O(8); 0.16 absolute ~ 2% of full scale.
+    out, ref = run(2, 8, 8, 768, 3072, 32, 8, 0, jnp.bfloat16, 4)
+    np.testing.assert_allclose(out, ref, rtol=0.08, atol=0.16)
+
+
 def test_fused_swin_block_train_bwd_direct():
     """``fused_swin_block_train``'s split Pallas backward (MLP+LN2 kernel,
     then attention+LN1 kernel) must produce the analytic grads of the

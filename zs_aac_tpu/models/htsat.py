@@ -284,9 +284,15 @@ class _SwinBlock(nn.Module):
 
         if self.fused_block and not train:
             # whole-block Pallas kernel (LN1/attn/residual/LN2/MLP/residual
-            # VMEM-resident); eval-only — drop_path is identity there. Falls
-            # through to the layered path when the block's MLP weights
-            # don't fit the kernel's VMEM budget (stage 4).
+            # VMEM-resident); eval-only — drop_path is identity there.
+            # Stage 4 (MLP weights ~14 MB > VMEM) stays on the attention-
+            # only kernel + XLA MLP: the round-4 MLP-streamed whole-block
+            # variant (ops/window_attn.py::_block_kernel_stream) measured
+            # NEGATIVE end-to-end (26.41 vs 25.82 ms/batch @B=64 — with
+            # the chunk grid dim innermost the fc chunks re-stream per
+            # batch element, ~600 MB/block invocation; batch-blocking the
+            # grid is VMEM-infeasible under the masked-head attention
+            # formulation). Kernel + parity test retained as the record.
             from zs_aac_tpu.ops.window_attn import (
                 _pick_rows_block,
                 fused_swin_block,
