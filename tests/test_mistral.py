@@ -207,7 +207,7 @@ def test_quantized_mistral_matches_float():
 def test_mistral_q8_cache_matches_float_cache():
     """int8 KV cache (init_mistral_cache_q8): per-step logits stay close to
     the float-cache path and greedy tokens agree — the gpt2 q8 scheme on
-    the grouped-GQA stacked layout."""
+    per-layer leaves with batch and kv-head folded into one dim."""
     from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
     from zs_aac_tpu.models.mistral import init_mistral_cache_q8
 
@@ -230,7 +230,7 @@ def test_mistral_q8_cache_matches_float_cache():
         lf, cache_f = mistral_step(params, MCFG, emb, cache_f, jnp.asarray(5 + t))
         lq, cache_q = mistral_step(params, MCFG, emb, cache_q, jnp.asarray(5 + t))
         assert np.abs(np.asarray(lq) - np.asarray(lf)).max() / denom < 0.03
-    assert cache_q["k"].dtype == jnp.int8
+    assert cache_q[0][0].dtype == jnp.int8  # per-layer (k, v, sk, sv) leaves
 
     # end-to-end greedy decode: emitted tokens agree
     t_f, l_f = mistral_greedy_decode(params, MCFG, prompt, None, 12, 10**9)

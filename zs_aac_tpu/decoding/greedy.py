@@ -55,8 +55,9 @@ def _grow_cache(cache, new_len: int, pos_axis: int = 3):
     """Pad every cache leaf's position axis out to ``new_len`` with zeros —
     exact, because positions beyond the write index are masked to -1e9
     before the softmax and zero lanes contribute exactly 0. ``pos_axis`` is
-    3 for the GPT-2 layouts ([L, B, H, T, d] k/v, [L, B, H, T] scales) and
-    2 for Mistral's per-layer [B, KV, T, d] leaves."""
+    3 for the GPT-2/Mistral stacked layouts ([L, B, H, T, d] k/v,
+    [L, B, H, T] scales) and 1 for the Mistral q8 folded per-layer leaves
+    ([B*KV, T, d] k/v, [B*KV, T] scales)."""
 
     def pad(x):
         p = [(0, 0)] * x.ndim
@@ -195,7 +196,7 @@ def mistral_greedy_decode(
 
     _, tokens, _, _, _, lengths = _staged_decode(
         body, (jnp.int32(0), tokens0, cache, finished0, cur, lengths0),
-        max_new_tokens, Lp, segments,
+        max_new_tokens, Lp, segments, pos_axis=1 if q8_cache else 3,
     )
     return tokens, lengths
 

@@ -234,21 +234,35 @@ def init_mistral_cache(cfg: MistralConfig, batch: int, max_len: int,
 
 def init_mistral_cache_q8(cfg: MistralConfig, batch: int, max_len: int):
     """int8 KV cache with per-(layer, batch, kv-head, pos) symmetric scales
-    — the ``models.gpt2.init_kv_cache_q8`` scheme on the stacked Mistral
-    layout. Halves the decode step's dominant HBM stream (cache reads; the
-    d=128 head dim fills int8 lane tiles exactly). ``mistral_prefill`` /
-    ``mistral_step`` dispatch on the ``k_scale`` key and fold the dequant
-    scales into the attention contractions, so no dequantized cache tensor
-    is ever materialized."""
+    — the ``models.gpt2.init_kv_cache_q8`` quantization scheme. Halves the
+    decode step's dominant HBM stream (cache reads; the d=128 head dim
+    fills int8 lane tiles exactly). ``mistral_prefill`` / ``mistral_step``
+    dispatch on the cache being a tuple and fold the dequant scales into
+    the attention contractions, so no dequantized cache tensor is ever
+    materialized.
+
+    Layout (round 4): PER-LAYER leaves ``(k, v, k_scale, v_scale)`` with
+    batch and kv-head FOLDED into one leading dim — k/v
+    [B*KV, T, d] int8, scales [B*KV, T] f32 — so the attention
+    contractions carry ONE batch dim. The round-3 stacked
+    [L, B, KV, T, d] layout made XLA pick a scatter-friendly carry layout
+    ({0,3,1,2}, B minor) and pay a full 19 MB relayout copy per k AND v
+    per layer per step before the grouped dot (profiled 6.9 ms of the
+    24.8 ms step at 7B/B=256). Measured A/B at 7B/B=256, 60-step greedy:
+    stacked 24.77 ms/step (10,333 tok/s), per-layer unfolded [B, KV, T, d]
+    22.29 (11,483), FOLDED 20.58 (12,437); a T-major stacked variant
+    measured worse (27.38)."""
     d = cfg.head_dim
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, d)
-    sshape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len)
-    return {
-        "k": jnp.zeros(shape, jnp.int8),
-        "v": jnp.zeros(shape, jnp.int8),
-        "k_scale": jnp.zeros(sshape, jnp.float32),
-        "v_scale": jnp.zeros(sshape, jnp.float32),
-    }
+    bg = batch * cfg.n_kv_heads
+    return tuple(
+        (
+            jnp.zeros((bg, max_len, d), jnp.int8),
+            jnp.zeros((bg, max_len, d), jnp.int8),
+            jnp.zeros((bg, max_len), jnp.float32),
+            jnp.zeros((bg, max_len), jnp.float32),
+        )
+        for _ in range(cfg.n_layers)
+    )
 
 
 def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None):
@@ -257,7 +271,8 @@ def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None)
     positions = jnp.arange(L)
     bias = _causal_bias(L, 0, cfg.sliding_window, x.dtype)
     scale = _lora_scale(lora)
-    T = cache["k"].shape[3]
+    q8 = isinstance(cache, tuple)
+    T = cache[0][0].shape[1] if q8 else cache["k"].shape[3]
     ks, vs = [], []
     for i, p in enumerate(params["layers"]):
         ll = _lora_layer(lora, i)
@@ -272,12 +287,25 @@ def mistral_prefill(params, cfg: MistralConfig, inputs_embeds, cache, lora=None)
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head_lora = lora.get("lm_head") if lora else None
     logits = _lora_matmul(x, params["lm_head"], head_lora, scale)
-    if "k_scale" in cache:  # int8 cache: quantize the prompt's K/V
+    if q8:  # int8 cache: quantize the prompt's K/V into per-layer leaves
         from zs_aac_tpu.models.gpt2 import _quantize_vec
 
+        bg = B * cfg.n_kv_heads
+        d = cfg.head_dim
+        # Quantize the STACKED [L, B, KV, T, d] tensor once, then slice +
+        # reshape per layer. Semantically identical to per-layer quantize
+        # calls, but the stacked producer hands the decode while_loop a
+        # dot-friendly initial-carry layout — per-layer _quantize_vec
+        # producers made XLA pick a T-major carry ({2,0,1}) whose strided
+        # attention reads cost +5.5 ms/step at 7B/B=256 (26.04 vs 20.58
+        # ms/step, measured both ways on the chip).
         qk, sk = _quantize_vec(jnp.stack(ks).astype(jnp.float32))
         qv, sv = _quantize_vec(jnp.stack(vs).astype(jnp.float32))
-        return logits, {"k": qk, "v": qv, "k_scale": sk, "v_scale": sv}
+        return logits, tuple(
+            (qk[i].reshape(bg, T, d), qv[i].reshape(bg, T, d),
+             sk[i].reshape(bg, T), sv[i].reshape(bg, T))
+            for i in range(cfg.n_layers)
+        )
     cache = {
         "k": jnp.stack(ks).astype(cache["k"].dtype),
         "v": jnp.stack(vs).astype(cache["v"].dtype),
@@ -305,30 +333,37 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
       at B=64/7B) — the grouped dot reads each cache byte exactly once,
       which is the point of the reference model's GQA
       (``mistralai/Mistral-7B`` n_kv_heads=8).
-    - An int8 cache (``init_mistral_cache_q8``, detected by the
-      ``k_scale`` key) halves those reads again: per-vector scales are
-      folded into the score logits (k-scales) and the probabilities
-      (v-scales), exactly as ``models.gpt2.gpt2_step_q8``.
+    - An int8 cache (``init_mistral_cache_q8``, detected by the cache
+      being a tuple of per-layer leaves) halves those reads again:
+      per-vector scales are folded into the score logits (k-scales) and
+      the probabilities (v-scales), exactly as
+      ``models.gpt2.gpt2_step_q8`` — and (round 4) its leaves are
+      per-layer with batch and kv-head folded into one dim, which keeps
+      XLA's carry layout dot-friendly: the stacked layout paid a 19 MB
+      relayout copy per k/v per layer per step (profiled 6.9 ms of the
+      24.8 ms step at 7B/B=256; folded measures 20.6 ms/step).
     """
     B, D = x_embed.shape
     H, KV, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     rep = H // KV
+    bg = B * KV
     x = x_embed[:, None]
     positions = jnp.full((1,), index)
-    T = cache["k"].shape[3]
+    q8 = isinstance(cache, tuple)
+    T = cache[0][0].shape[1] if q8 else cache["k"].shape[3]
     kpos = jnp.arange(T)
     ok = (kpos <= index) & (kpos > index - cfg.sliding_window)
-    bias = jnp.where(ok, 0.0, -1e9)[None, None, None, :]  # [1,1,1,T] f32
+    bias = jnp.where(ok, 0.0, -1e9)  # [T] f32
     scale = _lora_scale(lora)
     sqrt_d = np.float32(np.sqrt(d))
 
-    q8 = "k_scale" in cache
     if q8:
         from zs_aac_tpu.models.gpt2 import _quantize_vec
 
-        sk_all, sv_all = cache["k_scale"], cache["v_scale"]
-    ck_all, cv_all = cache["k"], cache["v"]
-    cdtype = ck_all.dtype
+        new_cache = []
+    else:
+        ck_all, cv_all = cache["k"], cache["v"]
+        cdtype = ck_all.dtype
     for i, p in enumerate(params["layers"]):
         ll = _lora_layer(lora, i)
         a = p["attn"]
@@ -341,27 +376,39 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
         k = _rope(k.reshape(B, 1, KV, d).transpose(0, 2, 1, 3), positions,
                   cfg.rope_theta)
         if q8:
+            # folded per-layer leaves [B*KV, T, d] / [B*KV, T]: ONE batch
+            # dim in the contractions, f32-accumulated dots (see
+            # init_mistral_cache_q8 for the measured layout story)
             qk_, sk_ = _quantize_vec(k[:, :, 0].astype(jnp.float32))
             qv_, sv_ = _quantize_vec(v.reshape(B, KV, d).astype(jnp.float32))
-            ck_all = ck_all.at[i, :, :, index].set(qk_)
-            cv_all = cv_all.at[i, :, :, index].set(qv_)
-            sk_all = sk_all.at[i, :, :, index].set(sk_)
-            sv_all = sv_all.at[i, :, :, index].set(sv_)
+            ck, cv, sk, sv = cache[i]
+            ck = ck.at[:, index].set(qk_.reshape(bg, d))
+            cv = cv.at[:, index].set(qv_.reshape(bg, d))
+            sk = sk.at[:, index].set(sk_.reshape(bg))
+            sv = sv.at[:, index].set(sv_.reshape(bg))
+            new_cache.append((ck, cv, sk, sv))
+            qg = q[:, :, 0].reshape(bg, rep, d)
+            att = jax.lax.dot_general(
+                qg, ck.astype(x.dtype), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # [BG, rep, T]
+            att = att * (sk[:, None, :] / sqrt_d)
+            att = jax.nn.softmax(att + bias[None, None], axis=-1)
+            att = (att * sv[:, None, :]).astype(x.dtype)
+            o = jax.lax.dot_general(
+                att, cv.astype(x.dtype), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # [BG, rep, d]
+            o = o.astype(x.dtype).reshape(B, 1, H * d)
         else:
             ck_all = ck_all.at[i, :, :, index].set(k[:, :, 0].astype(cdtype))
             cv_all = cv_all.at[i, :, :, index].set(
                 v.reshape(B, KV, d).astype(cdtype))
-        qg = q[:, :, 0].reshape(B, KV, rep, d)  # head h -> (g=h//rep, r=h%rep)
-        att = jnp.einsum("bgrd,bgtd->bgrt", qg, ck_all[i].astype(x.dtype))
-        if q8:
-            att = att.astype(jnp.float32) * (sk_all[i][:, :, None, :] / sqrt_d)
-            att = jax.nn.softmax(att + bias, axis=-1)
-            att = (att * sv_all[i][:, :, None, :]).astype(x.dtype)
-        else:
-            att = att.astype(jnp.float32) / sqrt_d + bias
+            # head h -> (g=h//rep, r=h%rep)
+            qg = q[:, :, 0].reshape(B, KV, rep, d)
+            att = jnp.einsum("bgrd,bgtd->bgrt", qg, ck_all[i].astype(x.dtype))
+            att = att.astype(jnp.float32) / sqrt_d + bias[None, None, None]
             att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bgrt,bgtd->bgrd", att, cv_all[i].astype(x.dtype))
-        o = o.reshape(B, 1, H * d)
+            o = jnp.einsum("bgrt,bgtd->bgrd", att, cv_all[i].astype(x.dtype))
+            o = o.reshape(B, 1, H * d)
         x = x + _lora_matmul(o, a["wo"], ll.get("wo") if ll else None, scale)
         h = _rms_norm(x, p["ln2"], cfg.rms_norm_eps)
         x = x + _mlp(p["mlp"], h, ll, scale)
@@ -369,8 +416,7 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
     head_lora = lora.get("lm_head") if lora else None
     logits = _lora_matmul(x, params["lm_head"], head_lora, scale)[:, 0]
     if q8:
-        return logits, {"k": ck_all, "v": cv_all,
-                        "k_scale": sk_all, "v_scale": sv_all}
+        return logits, tuple(new_cache)
     return logits, {"k": ck_all, "v": cv_all}
 
 
