@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""BASELINE config 3: beam-5 captioning + PREFIX-LENGTH SWEEP (round-4
+VERDICT #9) at AudioCaps-shaped data (10-s clips, ~10-word captions —
+the synthetic full-dress corpus is already that shape).
+
+Reuses a completed ``examples/full_dress_config2.py`` workdir (its CLAP
+banks and label bank) and, per prefix length Lp in the sweep, chains
+through the CLIs on the chip:
+
+  train_prompt  GPT-2 124M + TransformerMapper, --prefix_length Lp
+  predict       --isbeam --beam_size 5 --q8 -> scores.txt (full suite)
+
+and records per-Lp: CIDEr / SPIDEr, train + predict wall-clock, and an
+isolated beam-5 w8a8+q8 decode-throughput probe (B=64, 67 steps, chained
+-dep timing) on the TRAINED weights. Reference anchor for the
+hyperparameter surface: ``/root/reference/train_prompt.py:181-220``;
+beam-5 eval path ``/root/reference/gpt2_prefix_eval.py:99-158``.
+
+Run: python examples/prefix_sweep_config3.py [full_dress_workdir]
+(expects the workdir's banks to exist; ~15-20 min per Lp on one chip)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LPS = (5, 10, 20, 40)
+EPOCHS = "4"
+
+
+def decode_probe(run_dir: str, beam: int = 5, batch: int = 64) -> dict:
+    """Isolated beam decode throughput on the trained checkpoint (w8a8+q8,
+    67 steps) with the verify-skill chained-dep harness. Rehydrates the
+    run dir exactly as ``train/predict_prompt.py:81-137`` does."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from zs_aac_tpu.decoding.beam import beam_search_batched_q8
+    from zs_aac_tpu.models.caption import (
+        CaptionConfig,
+        caption_embeddings,
+        init_caption_model,
+    )
+    from zs_aac_tpu.models.gpt2 import quantize_gpt2_int8
+    from zs_aac_tpu.train.train_prompt import _gpt2_config, _make_tokenizer
+    from zs_aac_tpu.utils.checkpoints import load_params
+
+    saved = json.load(open(os.path.join(run_dir, "params.json")))
+
+    class _A:
+        tokenizer = None
+
+    tokenizer, stop_id = _make_tokenizer(_A(), saved["data"])
+    prefix_dim = saved.get("prefix_dim") or (1024 if saved.get("is_rn")
+                                             else 512)
+    ccfg = CaptionConfig(
+        prefix_length=saved["prefix_length"],
+        prefix_size=prefix_dim,
+        clip_length=saved.get("prefix_length_clip", saved["prefix_length"]),
+        num_layers=saved.get("num_layers", 8),
+        mapping_type=saved.get("mapping_type", "mlp"),
+        gpt2=_gpt2_config(saved.get("gpt2_size", "base"),
+                          saved.get("gpt2_vocab_size", tokenizer.vocab_size)),
+    )
+    params = init_caption_model(jax.random.key(0), ccfg)
+    params = load_params(os.path.join(run_dir, "best.pth"), params)
+    gp = jax.device_put(
+        jax.jit(lambda p: quantize_gpt2_int8(p, "w8a8"))(params["gpt2"]))
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(
+        rng.standard_normal((batch, ccfg.prefix_size)).astype(np.float32))
+    emb = jax.jit(lambda p, pr: caption_embeddings(p, ccfg, pr))(
+        params, prefix).astype(jnp.bfloat16)
+
+    def chained(e, n):
+        t = None
+        for _ in range(n):
+            t, l, s = beam_search_batched_q8(gp, ccfg.gpt2, e, beam, 67,
+                                             stop_id)
+            e = e + (t.sum() % 2).astype(e.dtype) * 1e-2
+        return t
+
+    float(np.asarray(chained(emb, 1))[0, 0, 0])          # absorb compile
+    t0 = time.perf_counter(); np.asarray(chained(emb, 1)); t1 = time.perf_counter() - t0
+    n = 6
+    t0 = time.perf_counter(); np.asarray(chained(emb, n + 1)); t2 = time.perf_counter() - t0
+    per = (t2 - t1) / n
+    return {"ms_per_call": round(per * 1e3, 1),
+            "clips_per_s": round(batch / per, 1)}
+
+
+def main():
+    root = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else
+                           "/tmp/full_dress")
+    test_bank = os.path.join(root, "banks", "test", "clap_embedding", "ZS",
+                             "data.pkl")
+    related = os.path.join(root, "train_related.pkl")
+    label_bank = os.path.join(root, "audioset_label.pkl")
+    for p in (test_bank, related, label_bank):
+        assert os.path.exists(p), f"run full_dress_config2.py first: {p}"
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    out_path = os.path.join(root, "prefix_sweep.json")
+    results = json.load(open(out_path)) if os.path.exists(out_path) else {}
+
+    for lp in LPS:
+        key = f"Lp{lp}"
+        if key in results and "beam5_b64_decode" in results[key]:
+            print(f"[{key}] done in prior run — skip", flush=True)
+            continue
+        runs = os.path.join(root, f"sweep_runs_lp{lp}")
+        done = [d for d in (sorted(os.listdir(runs)) if os.path.isdir(runs)
+                            else [])
+                if os.path.exists(os.path.join(runs, d, "best.pth"))]
+        if done:   # resume: training for this Lp finished in a prior run
+            run_dir, train_s = os.path.join(runs, done[-1]), None
+        else:
+            t0 = time.perf_counter()
+            subprocess.run([
+                sys.executable, "-m", "zs_aac_tpu.train.train_prompt",
+                "--data", related, "--valdata", test_bank,
+                "--out_dir", runs, "--sound_effect", label_bank,
+                "--bs", "40", "--epochs", EPOCHS, "--warmup", "0",
+                "--val_interval", "1000000", "--lr", "2e-4",
+                "--gpt2_size", "base", "--prefix_length", str(lp),
+                "--prefix_length_clip", str(lp),
+                "--mapping_type", "transformer", "--num_layers", "8",
+                "--noise_variance", "0.016", "--prefix_dim", "1024",
+                "--use_related_text", "--normalize_prefix",
+            ], check=True, env=env)
+            train_s = round(time.perf_counter() - t0, 1)
+            run_dir = os.path.join(runs, sorted(os.listdir(runs))[-1])
+
+        if key not in results:   # resume: predict+scores done in a prior run
+            t0 = time.perf_counter()
+            subprocess.run([
+                sys.executable, "-m", "zs_aac_tpu.train.predict_prompt",
+                "--test_dir", run_dir, "--data", test_bank,
+                "--sound_effect", label_bank,
+                "--isbeam", "--beam_size", "5", "--q8",
+            ], check=True, env=env)
+            predict_s = round(time.perf_counter() - t0, 1)
+
+            scores = {}
+            for line in open(os.path.join(run_dir, "scores.txt")):
+                if ":" in line and not line.startswith("#"):
+                    k, v = line.split(":", 1)
+                    try:
+                        scores[k.strip()] = float(v)
+                    except ValueError:
+                        pass
+            results[key] = {
+                "prefix_length": lp, "train_s": train_s,
+                "predict_s": predict_s,
+                "cider": scores.get("CIDEr"), "spider": scores.get("SPIDEr"),
+                "bleu4": scores.get("Bleu-4"),
+                "rouge_l": scores.get("ROUGE_L"),
+            }
+            json.dump(results, open(out_path, "w"), indent=1)  # survive probe
+        results[key]["beam5_b64_decode"] = decode_probe(run_dir)
+        json.dump(results, open(out_path, "w"), indent=1)
+        print(f"[{key}] {json.dumps(results[key])}", flush=True)
+
+    print("\nprefix-length sweep (config 3, beam-5, w8a8+q8):")
+    for lp in LPS:
+        r = results[f"Lp{lp}"]
+        print(f"  Lp={lp:<3d} CIDEr {r['cider']:.3f}  SPIDEr {r['spider']:.3f}"
+              f"  beam5@B=64 {r['beam5_b64_decode']['clips_per_s']} clips/s"
+              f"  train {r['train_s']} s  predict {r['predict_s']} s")
+
+
+if __name__ == "__main__":
+    main()

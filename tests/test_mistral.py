@@ -312,3 +312,42 @@ def test_mistral_greedy_matches_hf_generate():
             assert lengths[b] == len(hf_new), (lengths[b], hf_row, toks[b])
             np.testing.assert_array_equal(toks[b, : lengths[b]], hf_new,
                                           err_msg=f"row {b} tag {tag_ids}")
+
+
+def test_fused_qkv_gateup_serving_layout_exact():
+    """quantize_mistral_int8(fuse=True) — the serving layout with q/k/v
+    concatenated into one int8 ``wqkv`` dot and gate/up into ``gateup`` —
+    computes the same math as the unfused path: per-output-column scales
+    concatenate with the columns, int8 products accumulate exactly in
+    int32, and the fp32 epilogue is per-element. Bitwise equality is NOT
+    guaranteed (XLA reassociates the epilogue multiplies and f32 dot
+    accumulation order differs on the concatenated shapes — measured
+    <=1e-7 per matmul), so: tight allclose on forward logits, EXACT token
+    agreement for the cached greedy decode (q8 cache), and LoRA (nonzero
+    b) applied per-site on the fused slices."""
+    from zs_aac_tpu.decoding.greedy import mistral_greedy_decode
+    from zs_aac_tpu.models.mistral import init_lora, quantize_mistral_int8
+
+    params = init_mistral(jax.random.key(0), MCFG, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(
+        rng.standard_normal((2, 5, MCFG.hidden_size)).astype(np.float32) * 0.2)
+
+    for mode in ("w8", "w8a8"):
+        qp = quantize_mistral_int8(params, mode)
+        qf = quantize_mistral_int8(params, mode, fuse=True)
+        np.testing.assert_allclose(
+            np.asarray(mistral_forward(qp, MCFG, emb)),
+            np.asarray(mistral_forward(qf, MCFG, emb)),
+            rtol=1e-5, atol=1e-5, err_msg=mode)
+
+    qp = quantize_mistral_int8(params, "w8a8")
+    qf = quantize_mistral_int8(params, "w8a8", fuse=True)
+    lora = init_lora(jax.random.key(1), MCFG, r=2, alpha=4)
+    lora = {**lora, "layers": jax.tree.map(  # nonzero b so deltas matter
+        lambda x: x + 0.05, lora["layers"])}
+    for lr in (None, lora):
+        t_u, l_u = mistral_greedy_decode(qp, MCFG, emb, lr, 12, 10**9, q8_cache=True)
+        t_f, l_f = mistral_greedy_decode(qf, MCFG, emb, lr, 12, 10**9, q8_cache=True)
+        np.testing.assert_array_equal(np.asarray(t_u), np.asarray(t_f))
+        np.testing.assert_array_equal(np.asarray(l_u), np.asarray(l_f))

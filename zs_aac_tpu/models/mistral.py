@@ -107,16 +107,61 @@ def _lora_matmul(x, w, lora: Optional[Dict], scale):
     NF4-base + float-LoRA serving."""
     out = _base_matmul(x, w)
     if lora is not None:
-        delta = (x @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype)
-        out = out + delta * jnp.asarray(scale, x.dtype)
+        out = out + _lora_delta(x, lora, scale)
     return out
 
 
-def quantize_mistral_int8(params: dict, mode: str = "w8") -> dict:
+def _lora_delta(x, lora: Dict, scale):
+    delta = (x @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype)
+    return delta * jnp.asarray(scale, x.dtype)
+
+
+def _qkv_matmul(a, cfg: "MistralConfig", x, lora: Optional[Dict], scale):
+    """q/k/v projections -> (q, k, v), each [..., D] / [..., kvd].
+
+    Reads the fused ``wqkv`` leaf when present (serving layout,
+    ``quantize_mistral_int8(fuse=True)``): ONE int8 MXU dot + ONE
+    activation-quantize pass instead of three, sliced afterwards at
+    128-aligned column offsets (lane-aligned bitcast slices, no relayout).
+    LoRA deltas stay per-site on top of the slices — identical math to the
+    unfused path."""
+    if "wqkv" in a:
+        D = cfg.hidden_size
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        qkv = _base_matmul(x, a["wqkv"])
+        q = qkv[..., :D]
+        k = qkv[..., D:D + kvd]
+        v = qkv[..., D + kvd:]
+        if lora is not None:
+            if "wq" in lora:
+                q = q + _lora_delta(x, lora["wq"], scale)
+            if "wk" in lora:
+                k = k + _lora_delta(x, lora["wk"], scale)
+            if "wv" in lora:
+                v = v + _lora_delta(x, lora["wv"], scale)
+        return q, k, v
+    q = _lora_matmul(x, a["wq"], lora.get("wq") if lora else None, scale)
+    k = _lora_matmul(x, a["wk"], lora.get("wk") if lora else None, scale)
+    v = _lora_matmul(x, a["wv"], lora.get("wv") if lora else None, scale)
+    return q, k, v
+
+
+def quantize_mistral_int8(params: dict, mode: str = "w8",
+                          fuse: bool = False) -> dict:
     """Per-output-channel symmetric int8 quantization of every projection
     (q/k/v/o/gate/up/down/lm_head). ``embed`` and the RMSNorm scales stay
     float (tiny reads). ``mode`` as in ``models.gpt2.quantize_gpt2_int8``.
-    """
+
+    ``fuse=True`` emits the SERVING layout: q/k/v concatenated into one
+    ``wqkv`` [D, D+2*kvd] leaf and gate/up into one ``gateup`` [D, 2I] —
+    per-output-channel scales concatenate with the columns, so the int8
+    products, int32 accumulations and fp32 epilogue are element-for-element
+    identical to the unfused path (exactness asserted in
+    tests/test_mistral.py). The point is step-level glue: 7 projection
+    dots per layer become 4, which drops 3 dot dispatches + fp32-rescale
+    epilogues and lets one activation-quantize pass feed q, k AND v
+    (the decode profile's ``abs_reduce_fusion`` category — 4.4 ms of the
+    24.8 ms step at 7B/B=256 — is the target; numbers in BASELINE.md)."""
     assert mode in ("w8", "w8a8"), mode
     skey = "scale" if mode == "w8" else "scale_a8"
 
@@ -126,15 +171,33 @@ def quantize_mistral_int8(params: dict, mode: str = "w8") -> dict:
         wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return {"w": wq, skey: scale.astype(jnp.float32)}
 
-    layers = [
-        {
-            "attn": {k: q(l["attn"][k]) for k in ("wq", "wk", "wv", "wo")},
-            "mlp": {k: q(l["mlp"][k]) for k in ("gate", "up", "down")},
-            "ln1": l["ln1"],
-            "ln2": l["ln2"],
-        }
-        for l in params["layers"]
-    ]
+    def qcat(*ws):
+        qs = [q(w) for w in ws]
+        return {"w": jnp.concatenate([e["w"] for e in qs], axis=1),
+                skey: jnp.concatenate([e[skey] for e in qs])}
+
+    if fuse:
+        layers = [
+            {
+                "attn": {"wqkv": qcat(*(l["attn"][k] for k in ("wq", "wk", "wv"))),
+                         "wo": q(l["attn"]["wo"])},
+                "mlp": {"gateup": qcat(l["mlp"]["gate"], l["mlp"]["up"]),
+                        "down": q(l["mlp"]["down"])},
+                "ln1": l["ln1"],
+                "ln2": l["ln2"],
+            }
+            for l in params["layers"]
+        ]
+    else:
+        layers = [
+            {
+                "attn": {k: q(l["attn"][k]) for k in ("wq", "wk", "wv", "wo")},
+                "mlp": {k: q(l["mlp"][k]) for k in ("gate", "up", "down")},
+                "ln1": l["ln1"],
+                "ln2": l["ln2"],
+            }
+            for l in params["layers"]
+        ]
     return {
         "embed": params["embed"],
         "layers": layers,
@@ -148,9 +211,7 @@ def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale):
     grouped in-place-cache formulation inlined in ``mistral_step``."""
     B, L, D = x.shape
     H, KV, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    q = _lora_matmul(x, p["wq"], lora.get("wq") if lora else None, scale)
-    k = _lora_matmul(x, p["wk"], lora.get("wk") if lora else None, scale)
-    v = _lora_matmul(x, p["wv"], lora.get("wv") if lora else None, scale)
+    q, k, v = _qkv_matmul(p, cfg, x, lora, scale)
     q = q.reshape(B, L, H, d).transpose(0, 2, 1, 3)
     k = k.reshape(B, L, KV, d).transpose(0, 2, 1, 3)
     v = v.reshape(B, L, KV, d).transpose(0, 2, 1, 3)
@@ -169,8 +230,18 @@ def _attention(p, cfg: MistralConfig, x, *, bias, positions, lora, scale):
 
 
 def _mlp(p, x, lora, scale):
-    g = _lora_matmul(x, p["gate"], lora.get("gate") if lora else None, scale)
-    u = _lora_matmul(x, p["up"], lora.get("up") if lora else None, scale)
+    if "gateup" in p:   # fused serving layout (quantize_mistral_int8)
+        I = p["gateup"]["w"].shape[1] // 2
+        gu = _base_matmul(x, p["gateup"])
+        g, u = gu[..., :I], gu[..., I:]
+        if lora is not None:
+            if "gate" in lora:
+                g = g + _lora_delta(x, lora["gate"], scale)
+            if "up" in lora:
+                u = u + _lora_delta(x, lora["up"], scale)
+    else:
+        g = _lora_matmul(x, p["gate"], lora.get("gate") if lora else None, scale)
+        u = _lora_matmul(x, p["up"], lora.get("up") if lora else None, scale)
     h = jax.nn.silu(g) * u
     return _lora_matmul(h, p["down"], lora.get("down") if lora else None, scale)
 
@@ -368,9 +439,7 @@ def mistral_step(params, cfg: MistralConfig, x_embed, cache, index, lora=None):
         ll = _lora_layer(lora, i)
         a = p["attn"]
         h = _rms_norm(x, p["ln1"], cfg.rms_norm_eps)
-        q = _lora_matmul(h, a["wq"], ll.get("wq") if ll else None, scale)
-        k = _lora_matmul(h, a["wk"], ll.get("wk") if ll else None, scale)
-        v = _lora_matmul(h, a["wv"], ll.get("wv") if ll else None, scale)
+        q, k, v = _qkv_matmul(a, cfg, h, ll, scale)
         q = _rope(q.reshape(B, 1, H, d).transpose(0, 2, 1, 3), positions,
                   cfg.rope_theta)
         k = _rope(k.reshape(B, 1, KV, d).transpose(0, 2, 1, 3), positions,
