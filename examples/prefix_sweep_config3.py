@@ -17,7 +17,14 @@ hyperparameter surface: ``/root/reference/train_prompt.py:181-220``;
 beam-5 eval path ``/root/reference/gpt2_prefix_eval.py:99-158``.
 
 Run: python examples/prefix_sweep_config3.py [full_dress_workdir]
-(expects the workdir's banks to exist; ~15-20 min per Lp on one chip)
+(~15-20 min per Lp on one chip). If the workdir's banks are missing, a
+synthetic 1024-d bank set at the SAME shapes/record schema is built in
+seconds (``build_synth_workdir``): caption embeddings are deterministic
+normalized bag-of-words projections and audio embeddings sit near their
+captions' — the zero-shot transfer signal exists by construction, so the
+sweep isolates the prefix-length axis (quality trend + per-Lp decode
+throughput) without re-running the CLAP stages. Corpus size/epochs are
+env-tunable (SWEEP_TRAIN_CLIPS / SWEEP_EVAL_CLIPS / SWEEP_EPOCHS).
 """
 
 import json
@@ -29,7 +36,81 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LPS = (5, 10, 20, 40)
-EPOCHS = "4"
+EPOCHS = os.environ.get("SWEEP_EPOCHS", "4")
+EMBED = 1024
+
+
+def build_synth_workdir(root: str) -> None:
+    """Banks at full_dress record schema (pipeline/extract.py:191-211,
+    pipeline/related.py:105) without the CLAP stages: word vectors are
+    seed-hashed gaussians, caption embedding = normalized mean, audio
+    embedding = its caption's embedding + small noise."""
+    import numpy as np
+
+    from zs_aac_tpu.data.banks import write_bank_list, write_bank_stream
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from full_dress_config2 import SUBJECTS, PLACES, caption_for
+
+    n_train = int(os.environ.get("SWEEP_TRAIN_CLIPS", "200"))
+    n_eval = int(os.environ.get("SWEEP_EVAL_CLIPS", "100"))
+
+    wvec = {}
+
+    def word_vec(w):
+        if w not in wvec:
+            import zlib
+            seed = zlib.crc32(("sweep:" + w).encode())  # stable across runs
+            wvec[w] = np.random.default_rng(seed).standard_normal(EMBED)
+        return wvec[w]
+
+    def text_embed(caption):
+        v = np.mean([word_vec(w) for w in caption.split()], axis=0)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    os.makedirs(os.path.join(root, "banks", "test", "clap_embedding", "ZS"),
+                exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    def audio_embed(cap):
+        v = text_embed(cap) + 0.05 * rng.standard_normal(EMBED).astype(np.float32)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    train = []
+    for i in range(n_train):
+        cap = caption_for(i)
+        ae = audio_embed(cap)[None]
+        for _ in range(5):
+            train.append({"audio_embedding": ae, "caption": cap,
+                          "text_embedding": text_embed(cap)[None],
+                          "audio_id": f"train_{i:04d}"})
+    # related kNN attachment, same as pipeline/related.py: unique text
+    # embeddings bank, top-5 cosine neighbors per record
+    uniq, seen = [], set()
+    for r in train:
+        if r["caption"] not in seen:
+            seen.add(r["caption"])
+            uniq.append(r["text_embedding"][0])
+    bank = np.stack(uniq)
+    for r in train:
+        sims = bank @ r["text_embedding"][0]
+        r["related_embeddings"] = bank[np.argsort(-sims)[:5]]
+    write_bank_stream(os.path.join(root, "train_related.pkl"), train)
+
+    test = [{"audio_embedding": audio_embed(caption_for(i))[None],
+             "caption": [{"caption": caption_for(i)} for _ in range(5)],
+             "text_embedding": 0, "audio_id": f"eval_{i:04d}"}
+            for i in range(n_eval)]
+    write_bank_list(os.path.join(root, "banks", "test", "clap_embedding",
+                                 "ZS", "data.pkl"), test)
+
+    labels = SUBJECTS + PLACES
+    write_bank_list(os.path.join(root, "audioset_label.pkl"),
+                    [{"label": l, "label_id": i,
+                      "label_embedding": text_embed(l)[None]}
+                     for i, l in enumerate(labels)])
+    print(f"[synth workdir] {5*n_train} train records, {n_eval} eval clips, "
+          f"{len(labels)} labels -> {root}", flush=True)
 
 
 def decode_probe(run_dir: str, beam: int = 5, batch: int = 64) -> dict:
@@ -103,8 +184,8 @@ def main():
                              "data.pkl")
     related = os.path.join(root, "train_related.pkl")
     label_bank = os.path.join(root, "audioset_label.pkl")
-    for p in (test_bank, related, label_bank):
-        assert os.path.exists(p), f"run full_dress_config2.py first: {p}"
+    if not all(os.path.exists(p) for p in (test_bank, related, label_bank)):
+        build_synth_workdir(root)
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
