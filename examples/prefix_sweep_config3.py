@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LPS = (5, 10, 20, 40)
 EPOCHS = os.environ.get("SWEEP_EPOCHS", "4")
 EMBED = 1024
+SYNTH_MARKER = "SYNTH_BANKS.json"  # bank-provenance stamp (see main)
 
 
 def build_synth_workdir(root: str) -> None:
@@ -92,6 +93,11 @@ def build_synth_workdir(root: str) -> None:
             seen.add(r["caption"])
             uniq.append(r["text_embedding"][0])
     bank = np.stack(uniq)
+    if len(bank) < 5:
+        raise SystemExit(
+            f"synth workdir needs >=5 unique captions for the topnumber=5 "
+            f"related-kNN contract (pipeline/related.py); got {len(bank)} "
+            f"from SWEEP_TRAIN_CLIPS={n_train} — raise SWEEP_TRAIN_CLIPS.")
     for r in train:
         sims = bank @ r["text_embedding"][0]
         r["related_embeddings"] = bank[np.argsort(-sims)[:5]]
@@ -109,6 +115,9 @@ def build_synth_workdir(root: str) -> None:
                     [{"label": l, "label_id": i,
                       "label_embedding": text_embed(l)[None]}
                      for i, l in enumerate(labels)])
+    json.dump({"provenance": "synthetic", "n_train": n_train,
+               "n_eval": n_eval, "embed": EMBED},
+              open(os.path.join(root, SYNTH_MARKER), "w"))
     print(f"[synth workdir] {5*n_train} train records, {n_eval} eval clips, "
           f"{len(labels)} labels -> {root}", flush=True)
 
@@ -184,13 +193,46 @@ def main():
                              "data.pkl")
     related = os.path.join(root, "train_related.pkl")
     label_bank = os.path.join(root, "audioset_label.pkl")
-    if not all(os.path.exists(p) for p in (test_bank, related, label_bank)):
+    paths = {"test bank": test_bank, "related train bank": related,
+             "label bank": label_bank}
+    missing = [n for n, p in paths.items() if not os.path.exists(p)]
+    if missing and len(missing) < len(paths):
+        # Partially populated (e.g. an interrupted full_dress run): refuse
+        # rather than silently replacing the real artifacts with synthetic
+        # ones. Delete the workdir or complete the full_dress run.
+        present = [f"{n} ({paths[n]})" for n in paths if n not in missing]
+        raise SystemExit(
+            "workdir is PARTIALLY populated — refusing to overwrite real "
+            f"artifacts with synthetic banks.\n  present: {present}\n"
+            f"  missing: {[paths[n] for n in missing]}\n"
+            f"Delete {root} for a synthetic sweep, or re-run "
+            "examples/full_dress_config2.py to complete it.")
+    if missing:
         build_synth_workdir(root)
+    provenance = ("synthetic"
+                  if os.path.exists(os.path.join(root, SYNTH_MARKER))
+                  else "real")
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     out_path = os.path.join(root, "prefix_sweep.json")
     results = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    # Provenance stamp: never mix results/weights trained against one bank
+    # generation with banks of the other. On mismatch, the stale results
+    # file AND the trained run dirs are moved aside (not deleted).
+    prior = results.get("_meta", {}).get("bank_provenance")
+    if results and prior != provenance:
+        suffix = f".stale-{int(time.time())}"
+        os.replace(out_path, out_path + suffix)
+        for lp in LPS:
+            runs = os.path.join(root, f"sweep_runs_lp{lp}")
+            if os.path.isdir(runs):
+                os.replace(runs, runs + suffix)
+        print(f"[provenance] prior results were {prior!r}, banks are now "
+              f"{provenance!r} — moved stale results/run dirs to *{suffix}",
+              flush=True)
+        results = {}
+    results["_meta"] = {"bank_provenance": provenance}
 
     for lp in LPS:
         key = f"Lp{lp}"
