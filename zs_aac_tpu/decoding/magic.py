@@ -39,7 +39,8 @@ from zs_aac_tpu.models.gpt2 import (
 )
 
 __all__ = ["magic_search", "magic_search_batched", "generate_beam_magic",
-           "make_magic_scorer", "clap_logprobs", "IncrementalWordPiece"]
+           "generate_beam_magic_batched", "make_magic_scorer",
+           "clap_logprobs", "IncrementalWordPiece"]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4, 8))

@@ -159,9 +159,12 @@ def quantize_mistral_int8(params: dict, mode: str = "w8",
     identical to the unfused path (exactness asserted in
     tests/test_mistral.py). The point is step-level glue: 7 projection
     dots per layer become 4, which drops 3 dot dispatches + fp32-rescale
-    epilogues and lets one activation-quantize pass feed q, k AND v
-    (the decode profile's ``abs_reduce_fusion`` category — 4.4 ms of the
-    24.8 ms step at 7B/B=256 — is the target; numbers in BASELINE.md)."""
+    epilogues and lets one activation-quantize pass feed q, k AND v.
+    Measured (round-5 A/B, BASELINE.md): the act-quant ``abs_reduce``
+    term drops 5.54 -> 2.01 ms/step at 7B/B=256 but the wider fused dots
+    give most of it back — net +3.1% tok/s at B=256, NEGATIVE at B=128
+    (-3.3%) and B=512 (-2.7%). Serve fused only near the B=256 knee
+    (``predict_multilingual --fuse_qkv auto`` does exactly that)."""
     assert mode in ("w8", "w8a8"), mode
     skey = "scale" if mode == "w8" else "scale_a8"
 

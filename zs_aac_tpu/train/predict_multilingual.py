@@ -51,6 +51,14 @@ def main(argv=None):
                    help="serve the frozen Mistral base with int8 weights "
                         "(quantize_mistral_int8; LoRA stays float on top — "
                         "the reference's NF4-base + LoRA serving shape)")
+    p.add_argument("--fuse_qkv", choices=("auto", "on", "off"), default="auto",
+                   help="serve the int8 base with q/k/v and gate/up "
+                        "concatenated into single projections (one MXU dot "
+                        "+ one activation-quantize pass instead of three; "
+                        "exact — element-identical epilogue). 'auto' fuses "
+                        "only in the measured win region around the B=256 "
+                        "serving knee (+3.1%% tok/s there, -3%% at B=128/512 "
+                        "— A/B table in BASELINE.md)")
     args = p.parse_args(argv)
 
     import jax
@@ -116,9 +124,14 @@ def main(argv=None):
         from zs_aac_tpu.models.mistral import quantize_mistral_int8
 
         # w8a8 (true int8-MXU dots): measured 12.78 vs w8's 14.09 ms/step at
-        # 7B/B=64; both modes are decode-agreement-tested (tests/test_mistral)
+        # 7B/B=64; both modes are decode-agreement-tested (tests/test_mistral).
+        # The fused wqkv/gateup layout is bit-exact and wins only near the
+        # B=256 knee (round-5 A/B, BASELINE.md): +3.1% @B=256, -3.3% @B=128,
+        # -2.7% @B=512 — 'auto' applies it in the measured win region only.
+        fuse = (args.fuse_qkv == "on"
+                or (args.fuse_qkv == "auto" and 192 <= args.batch < 384))
         params["mistral"] = _jax.jit(
-            lambda p: quantize_mistral_int8(p, "w8a8")
+            lambda p: quantize_mistral_int8(p, "w8a8", fuse=fuse)
         )(params["mistral"])
 
     all_preds = {}
