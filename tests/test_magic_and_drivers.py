@@ -544,3 +544,212 @@ def test_magic_fused_incremental_matches_full_retokenize_loop():
     want = magic_search_batched(params, cfg, prefix, audio, mk_scorer(False), **kw)
     got = magic_search_batched(params, cfg, prefix, audio, mk_scorer(True), **kw)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batched beam MAGIC (round-4 VERDICT weak #4)
+# ---------------------------------------------------------------------------
+
+
+def test_generate_beam_magic_batched_matches_single_clip():
+    """The batched host-selection path is an exact oracle mirror of the
+    per-clip ``generate_beam_magic`` loop: same tokens, same scores, for
+    every clip in the batch (selection math is verbatim numpy, the device
+    probe/commit programs are row-independent)."""
+    from zs_aac_tpu.decoding.magic import (
+        generate_beam_magic,
+        generate_beam_magic_batched,
+    )
+
+    params = init_gpt2(jax.random.key(0), GCFG)
+    rng = np.random.default_rng(5)
+    B = 3
+    prefix = jnp.asarray(
+        rng.standard_normal((B, 4, GCFG.n_embd)).astype(np.float32))
+    audio = rng.standard_normal((B, 16)).astype(np.float32)
+    tok = WordTokenizer(["w%d" % i for i in range(48)])
+
+    def fake_encode(texts):
+        out = []
+        for t in texts:
+            r = np.random.default_rng(zlib.crc32(t.encode()) % (2**31))
+            out.append(r.standard_normal(16).astype(np.float32))
+        return np.stack(out)
+
+    scorer = make_magic_scorer(None, tok, encode_text_fn=fake_encode)
+    kw = dict(beam_size=3, magic_width=5, alpha=0.1, beta=0.2,
+              entry_length=8, stop_token_id=STOP)
+    got_tokens, got_scores = generate_beam_magic_batched(
+        params, GCFG, prefix, audio, scorer, **kw)
+    assert len(got_tokens) == B and got_scores.shape == (B, 3)
+    for b in range(B):
+        want_t, want_s = generate_beam_magic(
+            params, GCFG, prefix[b:b + 1], audio[b], scorer, **kw)
+        assert got_tokens[b] == want_t, f"clip {b}"
+        np.testing.assert_allclose(got_scores[b], want_s, rtol=1e-5,
+                                   err_msg=f"clip {b}")
+        assert list(got_scores[b]) == sorted(got_scores[b], reverse=True)
+
+
+def test_beam_magic_fused_matches_host_path():
+    """The fused beam step (CLAP tower + per-clip beam select + ancestry
+    reorder + commit + probe in one device program) emits the same beams
+    as the host-selection oracle path."""
+    import types
+
+    from zs_aac_tpu.decoding.magic import generate_beam_magic_batched
+
+    params = init_gpt2(jax.random.key(2), GCFG)
+    rng = np.random.default_rng(9)
+    B = 3
+    prefix = jnp.asarray(
+        rng.standard_normal((B, 4, GCFG.n_embd)).astype(np.float32))
+    audio = rng.standard_normal((B, 16)).astype(np.float32)
+    tok = WordTokenizer(["w%d" % i for i in range(48)])
+
+    V, L = 64, 12
+    W = rng.standard_normal((V, 16)).astype(np.float32)
+
+    def tok_texts(texts):
+        ids = np.zeros((len(texts), L), np.int32)
+        mask = np.zeros((len(texts), L), np.float32)
+        for i, t in enumerate(texts):
+            for j, w in enumerate(t.split()[:L]):
+                ids[i, j] = (zlib.crc32(w.encode()) % (V - 1)) + 1
+                mask[i, j] = 1.0
+        return ids, mask
+
+    def host_encode(texts):
+        ids, mask = tok_texts(texts)
+        return (W[ids] * mask[..., None]).sum(1)
+
+    def dev_apply(vv, ids):
+        mask = (ids != 0).astype(vv["W"].dtype)
+        return (vv["W"][ids] * mask[..., None]).sum(1)
+
+    dev_encode = lambda texts: None
+    dev_encode.device = types.SimpleNamespace(
+        apply_fn=dev_apply, variables={"W": jnp.asarray(W)},
+        tokenize=lambda texts: tok_texts(texts)[0],
+    )
+    host_scorer = make_magic_scorer(None, tok, encode_text_fn=host_encode)
+    dev_scorer = make_magic_scorer(None, tok, encode_text_fn=dev_encode)
+
+    kw = dict(beam_size=3, magic_width=5, alpha=0.1, beta=0.2,
+              entry_length=9, stop_token_id=STOP)
+    want_t, want_s = generate_beam_magic_batched(
+        params, GCFG, prefix, audio, host_scorer, **kw)
+    got_t, got_s = generate_beam_magic_batched(
+        params, GCFG, prefix, audio, dev_scorer, **kw)
+    assert got_t == want_t
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-6)
+    # forced mid-sequence stop: early-exit + stopped-row bookkeeping
+    stop2 = want_t[0][0][-1] if len(want_t[0][0]) > 1 else want_t[0][0][0]
+    kw["stop_token_id"] = int(stop2)
+    want2 = generate_beam_magic_batched(
+        params, GCFG, prefix, audio, host_scorer, **kw)
+    got2 = generate_beam_magic_batched(
+        params, GCFG, prefix, audio, dev_scorer, **kw)
+    assert got2[0] == want2[0]
+
+
+def test_beam_magic_fused_incremental_matches_full_retokenize():
+    """The fused beam loop with the incremental WordPiece pipeline (now
+    including the per-step ancestry ``reorder``) emits identical beams to
+    full per-candidate re-tokenization."""
+    import types
+
+    from zs_aac_tpu.decoding.magic import generate_beam_magic_batched
+
+    corpus = ["a dog barks loudly in the park.",
+              "rain falls on the tin roof all night."]
+    lm = _train_bpe(corpus)
+    wp = _char_wordpiece(corpus)
+    cfg = GPT2Config(vocab_size=lm.vocab_size, n_positions=96, n_embd=32,
+                     n_layer=2, n_head=4)
+    params = init_gpt2(jax.random.key(3), cfg)
+    rng = np.random.default_rng(11)
+    B = 2
+    prefix = jnp.asarray(
+        rng.standard_normal((B, 4, cfg.n_embd)).astype(np.float32))
+    audio = rng.standard_normal((B, 16)).astype(np.float32)
+    W = rng.standard_normal((len(wp.itos), 16)).astype(np.float32)
+
+    def dev_apply(vv, ids):
+        mask = (ids != 0).astype(vv["W"].dtype)
+        return (vv["W"][ids] * mask[..., None]).sum(1)
+
+    def mk_scorer(with_wp):
+        enc = lambda texts: None
+        enc.device = types.SimpleNamespace(
+            apply_fn=dev_apply, variables={"W": jnp.asarray(W)},
+            tokenize=lambda texts: _full_retok(wp, texts),
+            wordpiece=wp if with_wp else None,
+        )
+        return make_magic_scorer(None, lm, encode_text_fn=enc)
+
+    kw = dict(beam_size=3, magic_width=5, alpha=0.1, beta=0.4,
+              entry_length=10, stop_token_id=-1)
+    want = generate_beam_magic_batched(
+        params, cfg, prefix, audio, mk_scorer(False), **kw)
+    got = generate_beam_magic_batched(
+        params, cfg, prefix, audio, mk_scorer(True), **kw)
+    assert got[0] == want[0]
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_predict_driver_magic_modes(tmp_path):
+    """End-to-end `predict_prompt --magic` (greedy) and `--magic --isbeam`
+    (batched beam MAGIC) through the CLI, with a real tiny ASE checkpoint
+    + sidecar loaded by ``_load_ase_text_encoder`` — the driver dispatch
+    these modes share was previously untested."""
+    train_bank = str(tmp_path / "train.pkl")
+    test_bank = str(tmp_path / "test.pkl")
+    _mk_bank(train_bank, n=24)
+    _mk_bank(test_bank, n=3, seed=1, test=True)
+
+    from zs_aac_tpu.train.train_prompt import main as train_main
+
+    out_dir = train_main([
+        "--data", train_bank, "--valdata", test_bank,
+        "--out_dir", str(tmp_path / "runs"),
+        "--bs", "8", "--epochs", "1", "--warmup", "0",
+        "--val_interval", "1000000", "--gpt2_size", "tiny",
+        "--prefix_length", "4", "--prefix_length_clip", "4",
+    ])
+
+    # tiny ASE checkpoint + sidecar (the --clap_ckpt surface)
+    from zs_aac_tpu.models.ase import ASE, ASEConfig
+    from zs_aac_tpu.utils.checkpoints import save_params
+
+    # embed_size must match the bank's embedding dim (the driver feeds the
+    # 512-d prefix embedding as the CLAP audio embedding)
+    acfg = dict(embed_size=512, audio_channels=(4, 8),
+                text_model="prajjwal1/bert-tiny", spec_augmentation=False)
+    ase = ASE(ASEConfig(**acfg))
+    variables = ase.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 64, 64)), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32), jnp.arange(1), train=False,
+    )
+    ck = str(tmp_path / "ase.pth")
+    save_params(ck, variables)
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+                          + ["w%d" % i for i in range(32)]
+                          + list("abcdefghijklmnopqrstuvwxyz")))
+    json.dump({"ase_config": {**acfg, "audio_channels": list(acfg["audio_channels"])},
+               "bert_tokenizer": vocab_path}, open(ck + ".json", "w"))
+
+    from zs_aac_tpu.train.predict_prompt import main as predict_main
+
+    common = ["--test_dir", out_dir, "--data", test_bank, "--batch", "3",
+              "--magic", "--clap_ckpt", ck, "--magic_width", "4"]
+    scores_g = predict_main(common)
+    out = json.load(open(os.path.join(out_dir, "output.txt")))
+    assert len(out["predictions"]) == 3 and "SPIDEr" in scores_g
+
+    scores_b = predict_main(common + ["--isbeam", "--beam_size", "2"])
+    out = json.load(open(os.path.join(out_dir, "output.txt")))
+    assert len(out["predictions"]) == 3 and "SPIDEr" in scores_b

@@ -271,7 +271,14 @@ def _load_ase_text_encoder(path: str):
 
     with open(path + ".json") as f:
         meta = json.load(f)
-    cfg = ASEConfig(**{k: v for k, v in meta["ase_config"].items()
+
+    def detuple(v):
+        # json can't express tuples; ASEConfig's tuple-typed fields
+        # (audio_channels, htsat_kwargs, fused_* stage tuples) must come
+        # back hashable or jit tracing on the frozen config breaks
+        return tuple(detuple(e) for e in v) if isinstance(v, list) else v
+
+    cfg = ASEConfig(**{k: detuple(v) for k, v in meta["ase_config"].items()
                        if k in ASEConfig.__dataclass_fields__})
     ase = ASE(cfg)
     import jax as _jax
@@ -408,6 +415,14 @@ class IncrementalWordPiece:
             self.tail[b] = data[cut + 1:]
         else:
             self.tail[b] = data
+
+    def reorder(self, src) -> None:
+        """Gather rows by beam ancestry (``src``: global row indices) —
+        the beam-MAGIC loop's per-step cache reorder, mirrored on the
+        host tokenizer state. Safe to alias: ``commit`` rebinds (never
+        mutates) the per-row ``stable``/``tail`` entries."""
+        self.stable = [self.stable[int(s)] for s in src]
+        self.tail = [self.tail[int(s)] for s in src]
 
     def matrix(self, rows: List[List[int]]) -> np.ndarray:
         """CLS/SEP-wrap, truncate, and pad to the smallest {8,16,30} length
@@ -743,3 +758,295 @@ def generate_beam_magic(
     order = np.argsort(-final)
     out_tokens = [list(tokens[b][: int(seq_lengths[b])]) for b in order]
     return out_tokens, final[order]
+
+
+# ---------------------------------------------------------------------------
+# Batched beam MAGIC (round-4 VERDICT weak #4): B clips x beam_size beams
+# decoded together. The reference runs beam MAGIC one clip at a time
+# (gpt2_prefix_eval.py:602-689); the math here is the same per clip, but
+# the GPT-2 probe/commit programs, the CLAP text tower and the per-step
+# host fetch all carry B*beam rows at once — the same amortization that
+# took greedy MAGIC from 0.35 to ~28 clips/s on a remote-attached chip.
+# ---------------------------------------------------------------------------
+
+_FUSED_BEAM_STEP_CACHE: dict = {}
+
+
+def _fused_beam_magic_step_for(apply_fn, cfg: GPT2Config, beam_size: int,
+                               first: bool):
+    """ONE device program per emitted beam step: CLAP text tower over all
+    B*beam*w candidates + per-clip MAGIC beam selection (length-normalized
+    cumulative score, stopped-row forcing — ``generate_beam_magic``
+    semantics) + ancestry cache reorder + commit + next-step probe. The
+    host's only per-step work is candidate detokenize/re-tokenize and ONE
+    packed fetch. ``first=True`` compiles the step-0 variant (all beams
+    identical -> select from beam 0's candidates only, reference
+    ``scores is None`` branch)."""
+    key = (apply_fn, cfg, beam_size, first)
+    if key in _FUSED_BEAM_STEP_CACHE:
+        return _FUSED_BEAM_STEP_CACHE[key]
+
+    @jax.jit
+    def fused(params, enc_vars, cache, new_kv, packed, plogits, hidden,
+              context, cand_ids, audio_rows, cum, seq, stopped,
+              stop_id, commit_index, context_len, alpha, beta, temp):
+        BM, w = packed.shape[1], packed.shape[2]
+        B = BM // beam_size
+        # 1. CLAP-score this step's candidates (log-softmax per beam row,
+        #    like the per-clip loop's per-beam score_fn call)
+        embs = apply_fn(enc_vars, cand_ids)
+        clap = _clap_logprobs_device(audio_rows, embs.reshape(BM, w, -1),
+                                     temp)
+        ids = packed[0].astype(jnp.int32).reshape(B, beam_size, w)
+        magic = (packed[1] + beta * clap).reshape(B, beam_size, w)
+        # 2. per-clip beam selection — vectorized twin of the numpy block
+        #    in generate_beam_magic (same tie behavior: lax.top_k and
+        #    stable argsort both prefer the lower index)
+        if first:
+            vals, wsel = jax.lax.top_k(magic[:, 0], beam_size)   # [B, beam]
+            src = jnp.zeros((B, beam_size), jnp.int32)
+            seq2 = jnp.ones((B, beam_size), jnp.float32)
+            cum2 = vals
+            nxt = jnp.take_along_axis(ids[:, 0], wsel, axis=1)
+            stopped2 = nxt == stop_id
+        else:
+            m = jnp.where(stopped[:, :, None], -jnp.inf, magic)
+            m = m.at[:, :, 0].set(jnp.where(stopped, 0.0, m[:, :, 0]))
+            seqi = seq + (1.0 - stopped.astype(jnp.float32))
+            avg = (cum[:, :, None] + m) / seqi[:, :, None]
+            vals, flat = jax.lax.top_k(avg.reshape(B, beam_size * w),
+                                       beam_size)
+            src = (flat // w).astype(jnp.int32)
+            wsel = (flat % w).astype(jnp.int32)
+            seq2 = jnp.take_along_axis(seqi, src, axis=1)
+            cum2 = vals * seq2
+            nxt = ids[jnp.arange(B)[:, None], src, wsel]
+            stopped2 = jnp.take_along_axis(stopped, src, axis=1) | (
+                nxt == stop_id)
+        # 3. ancestry reorder + commit over GLOBAL rows (the beam-row cache
+        #    is small; reordered once per step, never per candidate)
+        srcg = (jnp.arange(B, dtype=jnp.int32)[:, None] * beam_size
+                + src).reshape(BM)
+        wself = wsel.reshape(BM)
+        cache2 = jax.tree.map(lambda x: x[:, srcg], cache)
+        k_new, v_new = new_kv
+        cache2 = gpt2_commit_probe(cache2, (k_new[:, srcg], v_new[:, srcg]),
+                                   wself, commit_index)
+        logits = plogits[srcg, wself]
+        context2 = context[srcg].at[:, context_len].set(hidden[srcg, wself])
+        # 4. probe the next step's candidates
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        top_logp, top_ids = jax.lax.top_k(logp, w)
+        emb = gpt2_embed(params, top_ids)
+        plogits2, new_kv2, hidden2 = gpt2_probe_step(params, cfg, emb,
+                                                     cache2, commit_index + 1)
+        deg = jax.vmap(_degeneration_penalty, in_axes=(0, 0, None))(
+            context2, hidden2, context_len + 1
+        )
+        base2 = (1.0 - alpha) * top_logp - alpha * deg
+        # planes 2-5 ride the SAME per-step fetch as the next candidates:
+        # selected token, ancestry row, final (length-normalized) score,
+        # and selected seq length — the host mirrors no float math at all
+        bc = lambda x: jnp.broadcast_to(
+            x.reshape(BM).astype(jnp.float32)[:, None], (BM, w))
+        packed2 = jnp.stack([
+            top_ids.astype(jnp.float32), base2.astype(jnp.float32),
+            bc(nxt), bc(srcg), bc(cum2 / seq2), bc(seq2),
+        ])
+        return (packed2, plogits2, new_kv2, hidden2, cache2, context2,
+                cum2, seq2, stopped2)
+
+    _FUSED_BEAM_STEP_CACHE[key] = fused
+    return fused
+
+
+def generate_beam_magic_batched(
+    gpt2_params: dict,
+    cfg: GPT2Config,
+    prefix_embeds: jax.Array,      # [B, Lp, D]
+    audio_embeds: np.ndarray,      # [B, E]
+    score_fn,
+    beam_size: int = 3,
+    magic_width: int = 25,
+    alpha: float = 0.1,
+    beta: float = 0.2,
+    entry_length: int = 67,
+    stop_token_id: int = 13,
+):
+    """Beam MAGIC over a clip batch. Per-clip semantics are those of
+    ``generate_beam_magic`` (reference gpt2_prefix_eval.py:602-689);
+    per-clip outputs are oracle-compared against the single-clip loop in
+    tests/test_magic_and_drivers.py. Returns (token_lists [B][beam_size]
+    sorted best-first per clip, scores [B, beam_size]).
+
+    Two host loops, like ``magic_search_batched``: when the scorer carries
+    a jittable ``.device`` text tower, the whole step (CLAP + select +
+    commit + probe) is ONE device program and the host only re-tokenizes
+    candidates (incremental WordPiece when available); otherwise selection
+    runs in numpy, mirroring the single-clip block exactly — that path is
+    the oracle fixture."""
+    B, Lp, D = prefix_embeds.shape
+    BM = B * beam_size
+    w = magic_width
+    T = Lp + entry_length
+    audio_embeds = np.asarray(audio_embeds).reshape(B, -1)
+
+    cacheB = init_kv_cache(cfg, B, T, prefix_embeds.dtype)
+    logits_seq, cacheB, hiddenB = gpt2_prefill(
+        gpt2_params, cfg, prefix_embeds, cacheB, return_hidden=True
+    )
+    # beam-expand each clip's rows (clip-major: row = b*beam + j); a
+    # one-time copy of the small prefill cache, never repeated per step
+    cache = jax.tree.map(lambda x: jnp.repeat(x, beam_size, axis=1), cacheB)
+    logits = jnp.repeat(logits_seq[:, -1].astype(jnp.float32), beam_size,
+                        axis=0)                                   # [BM, V]
+    context = jnp.zeros((BM, T, D), prefix_embeds.dtype)
+    context = context.at[:, :Lp].set(
+        jnp.repeat(hiddenB.astype(prefix_embeds.dtype), beam_size, axis=0))
+    context_len = Lp
+
+    packed, plogits, new_kv, hidden = _probe_step_beam(
+        gpt2_params, cfg, logits, cache, w, Lp, context, context_len, alpha,
+    )
+
+    tokens = np.zeros((B, beam_size, entry_length), np.int64)
+    emitted = 0
+    stopped = np.zeros((B, beam_size), bool)
+    final = np.zeros((B, beam_size), np.float32)
+    seq_host = np.ones((B, beam_size), np.float64)
+
+    dev = getattr(score_fn, "device", None)
+    if dev is not None:
+        audio_rows = jnp.asarray(np.repeat(audio_embeds, beam_size, axis=0))
+        tokenizer = dev.tokenizer
+        wp = getattr(dev, "wordpiece", None)
+        incr = (IncrementalWordPiece(wp, tokenizer, BM)
+                if wp is not None and hasattr(tokenizer, "token_bytes")
+                else None)
+        cum_d = jnp.zeros((B, beam_size), jnp.float32)
+        seq_d = jnp.ones((B, beam_size), jnp.float32)
+        stop_d = jnp.zeros((B, beam_size), bool)
+        stop_id_d = jnp.int32(stop_token_id)
+
+        def apply_select(packed_np):
+            """Mirror a fetched selection onto the host state (integer
+            gathers only — every float the host needs rides the fetch)."""
+            nonlocal tokens, emitted, stopped, final, seq_host
+            nxt = packed_np[2, :, 0].astype(np.int64).reshape(B, beam_size)
+            srcg = packed_np[3, :, 0].astype(np.int64)            # [BM]
+            src = srcg.reshape(B, beam_size) % beam_size
+            rows = np.arange(B)[:, None]
+            tokens = tokens[rows, src]
+            tokens[:, :, emitted] = nxt
+            emitted += 1
+            stopped = stopped[rows, src] | (nxt == stop_token_id)
+            final = packed_np[4, :, 0].reshape(B, beam_size)
+            seq_host = packed_np[5, :, 0].astype(np.float64).reshape(
+                B, beam_size)
+            if incr is not None:
+                incr.reorder(srcg)
+                for r in range(BM):
+                    incr.commit(r, int(nxt.reshape(BM)[r]))
+
+        for i in range(entry_length):
+            packed_np = np.asarray(packed)       # single fetch per step
+            if packed_np.shape[0] == 6:
+                apply_select(packed_np)
+                if stopped.all():
+                    break
+            top_ids = packed_np[0].astype(np.int64)               # [BM, w]
+            if incr is not None:
+                rows = [r for g in range(BM)
+                        for r in incr.candidate_rows(g, top_ids[g])]
+                ids_np = incr.matrix(rows)
+            else:
+                flat = tokens.reshape(BM, entry_length)
+                texts = [tokenizer.decode(list(flat[g, :emitted]) + [int(t)])
+                         for g in range(BM) for t in top_ids[g]]
+                ids_np = dev.tokenize(texts)
+            fused = _fused_beam_magic_step_for(dev.apply_fn, cfg, beam_size,
+                                               first=(i == 0))
+            (packed, plogits, new_kv, hidden, cache, context,
+             cum_d, seq_d, stop_d) = fused(
+                gpt2_params, dev.variables, cache, new_kv, packed, plogits,
+                hidden, context, jnp.asarray(ids_np), audio_rows,
+                cum_d, seq_d, stop_d, stop_id_d, Lp + i, context_len,
+                alpha, beta, dev.temp,
+            )
+            context_len += 1
+        else:
+            apply_select(np.asarray(packed))     # collect the final select
+    else:
+        score_batched = getattr(score_fn, "batched", None)
+        audio_rows = np.repeat(audio_embeds, beam_size, axis=0)   # [BM, E]
+        scores = None
+        for i in range(entry_length):
+            packed_np = np.asarray(packed)       # single fetch per step
+            ids_np = packed_np[0].astype(np.int64).reshape(B, beam_size, w)
+            base = packed_np[1].reshape(B, beam_size, w)
+
+            flat_tokens = tokens.reshape(BM, entry_length)
+            cand = [[list(flat_tokens[g, :emitted]) + [int(t)]
+                     for t in ids_np.reshape(BM, w)[g]] for g in range(BM)]
+            if score_batched is not None:
+                clap = np.asarray(score_batched(audio_rows, cand)).reshape(
+                    B, beam_size, w)
+            else:
+                clap = np.stack([score_fn(audio_rows[g], cand[g])
+                                 for g in range(BM)]).reshape(B, beam_size, w)
+            magic = base + beta * clap
+
+            # per-clip selection: verbatim twin of generate_beam_magic's
+            # numpy block (the oracle the fused path is tested against)
+            src = np.zeros((B, beam_size), np.int64)
+            wsel = np.zeros((B, beam_size), np.int64)
+            nxt = np.zeros((B, beam_size), np.int64)
+            if scores is None:
+                # per-clip arrays so numpy dtype promotion follows the
+                # single-clip loop exactly (float32 first step, float64
+                # after the first length-normalized update)
+                scores = [None] * B
+                for b in range(B):
+                    order = np.argsort(-magic[b, 0])[:beam_size]
+                    scores[b] = magic[b, 0][order]
+                    nxt[b] = ids_np[b, 0][order]
+                    wsel[b] = order
+            else:
+                for b in range(B):
+                    m = magic[b].copy()
+                    m[stopped[b]] = -np.inf
+                    m[stopped[b], 0] = 0.0
+                    scores_sum = scores[b][:, None] + m
+                    seq_host[b][~stopped[b]] += 1
+                    avg = scores_sum / seq_host[b][:, None]
+                    flat = np.argsort(-avg.reshape(-1))[:beam_size]
+                    src[b] = flat // w
+                    wsel[b] = flat % w
+                    seq_host[b] = seq_host[b][src[b]]
+                    nxt[b] = ids_np[b, src[b], wsel[b]]
+                    tokens[b] = tokens[b][src[b]]
+                    stopped[b] = stopped[b][src[b]]
+                    scores[b] = avg.reshape(-1)[flat] * seq_host[b]
+            tokens[:, :, emitted] = nxt
+            emitted += 1
+            stopped = stopped | (nxt == stop_token_id)
+            if stopped.all() or i == entry_length - 1:
+                break
+            srcg = (np.arange(B)[:, None] * beam_size + src).reshape(BM)
+            packed, plogits, new_kv, hidden, cache, context = (
+                _commit_probe_beam(
+                    gpt2_params, cfg, cache, new_kv, jnp.asarray(srcg),
+                    jnp.asarray(wsel.reshape(BM)), plogits, hidden, context,
+                    Lp + i, w, context_len, alpha,
+                ))
+            context_len += 1
+        final = np.stack([scores[b] / seq_host[b]
+                          for b in range(B)]).astype(np.float32)
+
+    out_tokens, out_scores = [], np.zeros((B, beam_size), np.float32)
+    for b in range(B):
+        order = np.argsort(-final[b])
+        out_tokens.append([list(tokens[b, j, : int(seq_host[b, j])])
+                           for j in order])
+        out_scores[b] = final[b][order]
+    return out_tokens, out_scores

@@ -54,6 +54,8 @@ def _batched(paths: Sequence[str], labels: Sequence[int], batch: int, sr: int,
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--ckpt", required=True, help="ASE train-state checkpoint")

@@ -280,6 +280,8 @@ def extract_text_bank(encode_text: Callable, corpus: str, path: str,
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="configs/extract_data.yaml")
     p.add_argument("--ckpt", default=None)

@@ -107,6 +107,8 @@ def attach_related(
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input_path", nargs="+", required=True)
     p.add_argument("--output_path", required=True)

@@ -39,6 +39,8 @@ def tokenize_lang(text: str, lang: str) -> str:
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--test_dir", required=True)
     p.add_argument("--data", required=True)

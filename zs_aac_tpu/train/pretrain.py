@@ -192,6 +192,8 @@ def validate(encode_audio, encode_text, variables, datamodule, max_batches=None)
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-l", "--lr", type=float, default=None)

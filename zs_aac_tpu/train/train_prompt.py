@@ -177,6 +177,8 @@ def run_validation(params, ccfg, val_ds, tokenizer, stop_id, key2refs, beam_size
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     args = build_parser().parse_args(argv)
 
     import jax

@@ -123,6 +123,8 @@ def run_multilingual_validation(params, ccfg, val_ds, tokenizer, key2refs,
 
 
 def main(argv=None):
+    from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     args = build_parser().parse_args(argv)
 
     import jax
