@@ -187,6 +187,13 @@ def decode_probe(run_dir: str, beam: int = 5, batch: int = 64) -> dict:
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--probe":
+        # subprocess mode (see the decode-probe call in the sweep loop):
+        # a dropped tunnel RPC inside jax hangs the calling process
+        # forever, so the probe runs in its own bounded process
+        print("PROBE_RESULT " + json.dumps(decode_probe(sys.argv[2])),
+              flush=True)
+        return
     root = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else
                            "/tmp/full_dress")
     test_bank = os.path.join(root, "banks", "test", "clap_embedding", "ZS",
@@ -287,8 +294,25 @@ def main():
                 "bleu4": scores.get("Bleu-4"),
                 "rouge_l": scores.get("ROUGE_L"),
             }
+            # cold-cost split written by the predict driver (VERDICT r4 #5)
+            tpath = os.path.join(run_dir, "timing.json")
+            if os.path.exists(tpath):
+                results[key]["predict_timing"] = json.load(open(tpath))
             json.dump(results, open(out_path, "w"), indent=1)  # survive probe
-        results[key]["beam5_b64_decode"] = decode_probe(run_dir)
+        # bounded subprocess: a dead tunnel RPC would hang this process
+        # forever (it did — round 5, Lp5), and jax gives no client timeout
+        probe = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe", run_dir],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        rows = [l for l in probe.stdout.splitlines()
+                if l.startswith("PROBE_RESULT ")]
+        if probe.returncode != 0 or not rows:
+            raise RuntimeError(
+                f"decode probe failed for {run_dir}:\n{probe.stdout[-2000:]}"
+                f"\n{probe.stderr[-2000:]}")
+        results[key]["beam5_b64_decode"] = json.loads(
+            rows[-1][len("PROBE_RESULT "):])
         json.dump(results, open(out_path, "w"), indent=1)
         print(f"[{key}] {json.dumps(results[key])}", flush=True)
 
