@@ -161,6 +161,22 @@ def main(argv=None):
     # None vs array hard-prompt traces two signatures, both cached
     emb_fn = jax.jit(lambda p, pr, hp: caption_embeddings(p, ccfg, pr, hp))
 
+    # nearest-vocab prefix interpretation, batched on device: the per-item
+    # get_prefix_tokens path paid one ~40 ms tunnel fetch plus a host
+    # [50257, 768] GEMM per clip (~20-30 s over a 300-clip eval)
+    wte_n = wte / np.maximum(np.linalg.norm(wte, axis=-1, keepdims=True),
+                             1e-12)
+    wte_dev = jax.device_put(wte_n.astype(np.float32))
+    ptok_fn = jax.jit(lambda w, e: jnp.argmax(
+        (e.astype(jnp.float32)
+         / jnp.maximum(jnp.linalg.norm(e.astype(jnp.float32), axis=-1,
+                                       keepdims=True), 1e-12)) @ w.T,
+        axis=-1))
+
+    def chunk_prefix_tokens(emb):
+        ids = np.asarray(ptok_fn(wte_dev, emb[:, -ccfg.prefix_length:]))
+        return [tokenizer.decode(list(r)) for r in ids]
+
     key2pred, key2prefix = {}, {}
     items = [ds[i] for i in range(len(ds))]
     # cold-cost itemization (round-4 VERDICT weak #5): per-chunk walls —
@@ -201,10 +217,9 @@ def main(argv=None):
                     beam_size=args.beam_size, magic_width=args.magic_width,
                     alpha=args.alpha, beta=args.beta, stop_token_id=stop_id,
                 )
+                ptoks = chunk_prefix_tokens(emb)
                 for b, it in enumerate(chunk):
-                    key2prefix[it["audio_id"]] = [get_prefix_tokens(
-                        np.asarray(emb[b, -ccfg.prefix_length:]), wte,
-                        tokenizer)]
+                    key2prefix[it["audio_id"]] = [ptoks[b]]
                     key2pred[it["audio_id"]] = [
                         tokenizer.decode(cands[b][0]).lower()]
                 chunk_walls.append(round(time.perf_counter() - _tc, 3))
@@ -238,9 +253,9 @@ def main(argv=None):
                     beam_width=args.magic_width, alpha=args.alpha,
                     beta=args.beta, stop_token_id=stop_id,
                 )
+                ptoks = chunk_prefix_tokens(emb)
                 for b, it in enumerate(chunk):
-                    key2prefix[it["audio_id"]] = [get_prefix_tokens(
-                        np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
+                    key2prefix[it["audio_id"]] = [ptoks[b]]
                     key2pred[it["audio_id"]] = [tokenizer.decode(cands[b]).lower()]
                 chunk_walls.append(round(time.perf_counter() - _tc, 3))
     else:
@@ -261,9 +276,9 @@ def main(argv=None):
                 hp = (jnp.asarray(np.stack([it["hard_prompt"] for it in padded]))
                       if h else None)
                 emb = emb_fn(params, prefix, hp)
+                ptoks = chunk_prefix_tokens(emb)
                 for b, it in enumerate(chunk):
-                    key2prefix[it["audio_id"]] = [get_prefix_tokens(
-                        np.asarray(emb[b, -ccfg.prefix_length:]), wte, tokenizer)]
+                    key2prefix[it["audio_id"]] = [ptoks[b]]
                 if args.isbeam:
                     toks, lens, scores = decode_beam(
                         gpt2_serving, ccfg.gpt2, emb, args.beam_size, 67,
