@@ -283,12 +283,21 @@ def _load_ase_text_encoder(path: str):
     ase = ASE(cfg)
     import jax as _jax
 
-    variables = ase.init(
-        {"params": _jax.random.key(0)},
-        jnp.zeros((1, 64, 64)), jnp.zeros((1, 8), jnp.int32),
-        jnp.ones((1, 8), jnp.int32), jnp.arange(1), train=False,
+    # zeros template via eval_shape: an eager ASE init dispatched op-by-op
+    # through the remote tunnel just to be overwritten by the checkpoint
+    shapes = _jax.eval_shape(
+        lambda k: ase.init(
+            {"params": k},
+            jnp.zeros((1, 64, 64)), jnp.zeros((1, 8), jnp.int32),
+            jnp.ones((1, 8), jnp.int32), jnp.arange(1), train=False,
+        ),
+        _jax.random.key(0),
     )
+    import numpy as _np
+
+    variables = _jax.tree.map(lambda s: _np.zeros(s.shape, s.dtype), shapes)
     variables = load_params(path, variables)
+    variables = _jax.device_put(variables)    # one bulk upload
     bert_tok = meta.get("bert_tokenizer")
     if bert_tok is None:
         raise ValueError("ASE checkpoint sidecar must name its bert_tokenizer")
