@@ -73,8 +73,16 @@ def create_caption_state(
     optimizer: optax.GradientTransformation,
     gpt2_params: Optional[dict] = None,
 ) -> CaptionTrainState:
-    params = init_caption_model(rng, cfg, gpt2_params)
-    return CaptionTrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    # ONE jitted program: eager flax init + optax zeros-like dispatch
+    # hundreds of tiny one-off ops through a remote-TPU tunnel (verify
+    # skill notes); gpt2_params rides as a jit ARG (closing over it would
+    # bake it into the HLO — the tunnel rejects big constants)
+    @jax.jit
+    def build(r, gp):
+        p = init_caption_model(r, cfg, gp)
+        return CaptionTrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
+
+    return build(rng, gpt2_params)
 
 
 def make_caption_train_step(

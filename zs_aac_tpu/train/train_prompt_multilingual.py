@@ -188,7 +188,10 @@ def main(argv=None):
         lora_alpha=args.lora_alpha,
         mistral=_mistral_config(args.mistral_size, tokenizer.vocab_size),
     )
-    params = init_mistral_caption(jax.random.key(args.seed), ccfg)
+    # ONE jitted init program (eager dispatch through the remote tunnel is
+    # pathological at 7B — see verify skill notes / round-5 driver fixes)
+    params = jax.jit(
+        lambda k: init_mistral_caption(k, ccfg))(jax.random.key(args.seed))
     if args.mistral_ckpt:
         params["mistral"] = load_params(args.mistral_ckpt, params["mistral"])
 
