@@ -753,3 +753,40 @@ def test_predict_driver_magic_modes(tmp_path):
     scores_b = predict_main(common + ["--isbeam", "--beam_size", "2"])
     out = json.load(open(os.path.join(out_dir, "output.txt")))
     assert len(out["predictions"]) == 3 and "SPIDEr" in scores_b
+
+
+def test_dedup_tower_embs_exact():
+    """Tower-over-uniques + inverse gather is bit-exact vs the full batch,
+    across all three bucket regimes (full / quarter / saturation floor)."""
+    import types
+
+    from zs_aac_tpu.decoding.magic import _dedup_tower_embs, _tower_for
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+
+    def apply_fn(vv, ids):
+        mask = (ids != 0).astype(vv["W"].dtype)
+        return (vv["W"][ids] * mask[..., None]).sum(1)
+
+    tower = _tower_for(apply_fn)
+    vv = {"W": W}
+    B, k, L = 4, 8, 12
+    full = B * k
+
+    def check(ids_np):
+        got = np.asarray(_dedup_tower_embs(tower, vv, ids_np, B))
+        want = np.asarray(tower(vv, jnp.asarray(ids_np)))
+        np.testing.assert_array_equal(got, want)
+
+    # all-unique rows: full bucket, no dedup
+    check(rng.integers(1, 64, (full, L)).astype(np.int16))
+    # half duplicated -> quarter bucket? (16 uniques > full//4=8 -> full)
+    base = rng.integers(1, 64, (full // 2, L)).astype(np.int16)
+    check(np.concatenate([base, base], 0))
+    # saturation: every clip's k rows identical -> U = B <= floor bucket
+    rows = rng.integers(1, 64, (B, L)).astype(np.int16)
+    check(np.repeat(rows, k, axis=0))
+    # quarter regime: exactly full//4 uniques
+    rows = rng.integers(1, 64, (full // 4, L)).astype(np.int16)
+    check(np.concatenate([rows] * 4, 0))

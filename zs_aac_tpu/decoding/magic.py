@@ -206,13 +206,64 @@ def _clap_logprobs_device(audio: jax.Array, text: jax.Array, temp) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 _FUSED_STEP_CACHE: dict = {}
+_TOWER_CACHE: dict = {}
 
 
-def _fused_magic_step_for(apply_fn, cfg: GPT2Config, quant: bool):
-    """Build (and cache, so jit traces once per scorer/config) the fused
-    MAGIC step. ``apply_fn(enc_vars, ids, mask) -> [n, E]`` is the CLAP
-    text tower as a pure jittable function."""
-    key = (apply_fn, cfg, quant)
+def _tower_for(apply_fn):
+    """Jitted CLAP text tower, its own dispatch (async, no host fetch
+    between it and the fused step). Split out of the fused program so the
+    tower batch can SHRINK via candidate dedup (see ``_dedup_tower_embs``)
+    without multiplying fused-step compilations."""
+    t = _TOWER_CACHE.get(apply_fn)
+    if t is None:
+        t = _TOWER_CACHE[apply_fn] = jax.jit(
+            lambda vv, ids: apply_fn(vv, ids))
+    return t
+
+
+@jax.jit
+def _gather_embs(embs, inv):
+    return embs[inv]
+
+
+def _dedup_tower_embs(tower, variables, ids_np, n_clips: int):
+    """Run the text tower over UNIQUE candidate id rows only and gather
+    back by inverse index — bit-exact (identical rows produce identical
+    embeddings; the gather reads only real rows).
+
+    Why it matters: once a clip's committed text fills the tower's piece
+    budget, all k of its candidate rows are IDENTICAL (truncation hides
+    the tail — ``IncrementalWordPiece.candidate_rows``), so the late
+    steps of a long decode carry up to a k-fold redundant tower batch —
+    the named bound of the 67-step MAGIC worst case (BASELINE.md).
+    Duplicates also arise from chunk padding (repeated clips) and from
+    distinct LM tokens that WordPiece to the same pieces. ``U`` is padded
+    to one of three buckets (full, quarter, saturation floor) so the
+    tower compiles at most 3 shapes per id-length bucket."""
+    full = ids_np.shape[0]
+    ids_u, inv = np.unique(ids_np, axis=0, return_inverse=True)
+    U = ids_u.shape[0]
+    bucket = full
+    for b in (max(n_clips, full // 16), full // 4):
+        if U <= b:
+            bucket = b
+            break
+    if bucket >= full:
+        return tower(variables, jnp.asarray(ids_np))
+    if U < bucket:   # pad with copies of row 0 (valid ids, never gathered)
+        ids_u = np.concatenate(
+            [ids_u, np.broadcast_to(ids_u[0], (bucket - U, ids_u.shape[1]))],
+            axis=0)
+    embs = tower(variables, jnp.asarray(ids_u))
+    return _gather_embs(embs, jnp.asarray(inv.astype(np.int32)))
+
+
+def _fused_magic_step_for(cfg: GPT2Config, quant: bool):
+    """Build (and cache, so jit traces once per config) the fused MAGIC
+    step. Candidate CLAP embeddings arrive precomputed (``embs``
+    [B*k, E] — see ``_tower_for``/``_dedup_tower_embs``); everything else
+    (score + select + commit + next probe) is ONE device program."""
+    key = (cfg, quant)
     if key in _FUSED_STEP_CACHE:
         return _FUSED_STEP_CACHE[key]
 
@@ -222,12 +273,11 @@ def _fused_magic_step_for(apply_fn, cfg: GPT2Config, quant: bool):
     probe = gpt2_probe_step_q8 if quant else gpt2_probe_step
 
     @jax.jit
-    def fused(params, enc_vars, cache, new_kv, packed, plogits, hidden,
-              context, cand_ids, audio, commit_index,
+    def fused(params, cache, new_kv, packed, plogits, hidden,
+              context, embs, audio, commit_index,
               context_len, alpha, beta, temp):
         B, k = packed.shape[1], packed.shape[2]
-        # 1. CLAP-score this step's candidates (ids plane of ``packed``)
-        embs = apply_fn(enc_vars, cand_ids)
+        # 1. CLAP-score this step's candidates (precomputed embeddings)
         clap = _clap_logprobs_device(audio, embs.reshape(B, k, -1), temp)
         ids = packed[0].astype(jnp.int32)
         scores = packed[1] + beta * clap
@@ -507,11 +557,13 @@ def magic_search_batched(
 
     dev = getattr(score_fn, "device", None)
     if dev is not None:
-        # Fully-fused loop: CLAP text tower + score + select + commit +
-        # next probe run as ONE device program per emitted token; the host
-        # only detokenizes candidate ids to strings, re-tokenizes for the
-        # text tower, and pays a single packed fetch per step.
-        fused = _fused_magic_step_for(dev.apply_fn, cfg, quant)
+        # Fully-fused loop: score + select + commit + next probe run as
+        # ONE device program per emitted token, fed by a deduped tower
+        # dispatch (async, no fetch in between); the host only detokenizes
+        # candidate ids to strings, re-tokenizes for the text tower, and
+        # pays a single packed fetch per step.
+        fused = _fused_magic_step_for(cfg, quant)
+        tower = _tower_for(dev.apply_fn)
         audio_dev = jnp.asarray(audio_embeds)
         tokenizer = dev.tokenizer
         # Incremental host tokenization (VERDICT #6): available whenever the
@@ -544,9 +596,10 @@ def magic_search_batched(
                 texts = [tokenizer.decode(generated[b] + [int(t)])
                          for b in range(B) for t in top_ids[b]]
                 ids_np = dev.tokenize(texts)  # ONE compact upload per step
+            embs = _dedup_tower_embs(tower, dev.variables, ids_np, B)
             packed, plogits, new_kv, next_hidden, cache, context = fused(
-                gpt2_params, dev.variables, cache, new_kv, packed, plogits,
-                next_hidden, context, jnp.asarray(ids_np),
+                gpt2_params, cache, new_kv, packed, plogits,
+                next_hidden, context, embs,
                 audio_dev, Lp + step, context_len,
                 alpha, beta, dev.temp,
             )
@@ -781,29 +834,29 @@ def generate_beam_magic(
 _FUSED_BEAM_STEP_CACHE: dict = {}
 
 
-def _fused_beam_magic_step_for(apply_fn, cfg: GPT2Config, beam_size: int,
+def _fused_beam_magic_step_for(cfg: GPT2Config, beam_size: int,
                                first: bool):
-    """ONE device program per emitted beam step: CLAP text tower over all
-    B*beam*w candidates + per-clip MAGIC beam selection (length-normalized
-    cumulative score, stopped-row forcing — ``generate_beam_magic``
-    semantics) + ancestry cache reorder + commit + next-step probe. The
-    host's only per-step work is candidate detokenize/re-tokenize and ONE
-    packed fetch. ``first=True`` compiles the step-0 variant (all beams
+    """ONE device program per emitted beam step: per-clip MAGIC beam
+    selection over all B*beam*w candidates (length-normalized cumulative
+    score, stopped-row forcing — ``generate_beam_magic`` semantics) +
+    ancestry cache reorder + commit + next-step probe, fed by a deduped
+    tower dispatch (``_tower_for``/``_dedup_tower_embs``). The host's
+    only per-step work is candidate detokenize/re-tokenize and ONE packed
+    fetch. ``first=True`` compiles the step-0 variant (all beams
     identical -> select from beam 0's candidates only, reference
     ``scores is None`` branch)."""
-    key = (apply_fn, cfg, beam_size, first)
+    key = (cfg, beam_size, first)
     if key in _FUSED_BEAM_STEP_CACHE:
         return _FUSED_BEAM_STEP_CACHE[key]
 
     @jax.jit
-    def fused(params, enc_vars, cache, new_kv, packed, plogits, hidden,
-              context, cand_ids, audio_rows, cum, seq, stopped,
+    def fused(params, cache, new_kv, packed, plogits, hidden,
+              context, embs, audio_rows, cum, seq, stopped,
               stop_id, commit_index, context_len, alpha, beta, temp):
         BM, w = packed.shape[1], packed.shape[2]
         B = BM // beam_size
         # 1. CLAP-score this step's candidates (log-softmax per beam row,
         #    like the per-clip loop's per-beam score_fn call)
-        embs = apply_fn(enc_vars, cand_ids)
         clap = _clap_logprobs_device(audio_rows, embs.reshape(BM, w, -1),
                                      temp)
         ids = packed[0].astype(jnp.int32).reshape(B, beam_size, w)
@@ -927,6 +980,7 @@ def generate_beam_magic_batched(
     dev = getattr(score_fn, "device", None)
     if dev is not None:
         audio_rows = jnp.asarray(np.repeat(audio_embeds, beam_size, axis=0))
+        tower = _tower_for(dev.apply_fn)
         tokenizer = dev.tokenizer
         wp = getattr(dev, "wordpiece", None)
         incr = (IncrementalWordPiece(wp, tokenizer, BM)
@@ -973,12 +1027,13 @@ def generate_beam_magic_batched(
                 texts = [tokenizer.decode(list(flat[g, :emitted]) + [int(t)])
                          for g in range(BM) for t in top_ids[g]]
                 ids_np = dev.tokenize(texts)
-            fused = _fused_beam_magic_step_for(dev.apply_fn, cfg, beam_size,
+            embs = _dedup_tower_embs(tower, dev.variables, ids_np, BM)
+            fused = _fused_beam_magic_step_for(cfg, beam_size,
                                                first=(i == 0))
             (packed, plogits, new_kv, hidden, cache, context,
              cum_d, seq_d, stop_d) = fused(
-                gpt2_params, dev.variables, cache, new_kv, packed, plogits,
-                hidden, context, jnp.asarray(ids_np), audio_rows,
+                gpt2_params, cache, new_kv, packed, plogits,
+                hidden, context, embs, audio_rows,
                 cum_d, seq_d, stop_d, stop_id_d, Lp + i, context_len,
                 alpha, beta, dev.temp,
             )
