@@ -244,7 +244,7 @@ def _dedup_tower_embs(tower, variables, ids_np, n_clips: int):
     ids_u, inv = np.unique(ids_np, axis=0, return_inverse=True)
     U = ids_u.shape[0]
     bucket = full
-    for b in (max(n_clips, full // 16), full // 4):
+    for b in sorted({max(n_clips, full // 16), full // 4}):
         if U <= b:
             bucket = b
             break
