@@ -76,6 +76,29 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass
+
+    # The remote-attached TPU tunnel can drop (observed: a dead RPC hangs
+    # the client forever with no timeout). Probe it in bounded SUBPROCESSES
+    # and retry before committing this process to device work.
+    import subprocess
+
+    _PROBE = ("import jax, jax.numpy as jnp, numpy as np;"
+              "assert float(np.asarray(jax.jit(lambda a: (a@a).sum())"
+              "(jnp.ones((8,8))))) == 8.0")
+    for attempt in range(8):
+        try:
+            probe = subprocess.run([sys.executable, "-c", _PROBE],
+                                   capture_output=True, timeout=120)
+            if probe.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"device probe failed (attempt {attempt + 1}/8), retrying in 45 s",
+              file=sys.stderr)
+        time.sleep(45)
+    else:
+        print("TPU tunnel unreachable after 8 probes", file=sys.stderr)
+        sys.exit(3)
     import jax.numpy as jnp
 
     from zs_aac_tpu.decoding.greedy import greedy_decode, greedy_decode_q8
@@ -83,10 +106,17 @@ def main():
     from zs_aac_tpu.models.gpt2 import GPT2Config, quantize_gpt2_int8
 
     cfg = CaptionConfig(prefix_length=10, prefix_size=1024, gpt2=GPT2Config())
-    params = jax.device_put(init_caption_model(jax.random.key(0), cfg))
-    # Serving path: bf16 weights/cache, optionally int8-quantized (TPU-native
-    # low precision; the reference's NF4 capability analog).
-    gp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params["gpt2"])
+    # ONE jitted build program (eager init + ~150 per-leaf bf16 casts each
+    # compiled a one-off executable through the remote tunnel on a cold
+    # cache). Serving path: bf16 weights/cache, optionally int8-quantized
+    # (TPU-native low precision; the reference's NF4 capability analog).
+
+    @jax.jit
+    def _build(k):
+        p = init_caption_model(k, cfg)
+        return p, jax.tree.map(lambda x: x.astype(jnp.bfloat16), p["gpt2"])
+
+    params, gp = _build(jax.random.key(0))
     if args.mode == "w8a8+q8":
         gp = jax.device_put(jax.jit(lambda p: quantize_gpt2_int8(p, "w8a8"))(gp))
     decode = greedy_decode if args.mode == "bf16" else greedy_decode_q8
@@ -97,10 +127,14 @@ def main():
     emb0 = embed_fn(params, prefix).astype(jnp.bfloat16)
 
     def chained(emb, n):
+        # VISIBLE perturbation: 1e-9 rounds to a no-op in bf16, which
+        # risks identical (executable, args) pairs being served from the
+        # tunnel's result cache (verify-skill trap); 1e-2 keeps every call
+        # distinct while the per-call work is unchanged
         toks = None
         for _ in range(n):
             toks, _ = decode(gp, cfg.gpt2, emb, args.entry_length, 13, 764)
-            emb = emb + (toks.sum() % 2).astype(emb.dtype) * 1e-9
+            emb = emb + (toks.sum() % 2).astype(emb.dtype) * 1e-2
         return toks
 
     np.asarray(chained(emb0, 1))  # warm / compile
