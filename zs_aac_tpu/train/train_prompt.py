@@ -133,6 +133,15 @@ def _make_tokenizer(args, records_paths):
     return tok, tok.stop_token_id
 
 
+def _mean_loss(losses):
+    """One stacked device fetch instead of a per-step scalar round-trip."""
+    if not losses:
+        return 0.0
+    import jax.numpy as jnp
+
+    return float(jnp.stack(losses).mean())
+
+
 def run_validation(params, ccfg, val_ds, tokenizer, stop_id, key2refs, beam_size=3):
     """Beam-decode the val set (grouped by hard-prompt length) and score CIDEr."""
     import jax.numpy as jnp
@@ -203,7 +212,12 @@ def main(argv=None):
         make_caption_train_step,
     )
     from zs_aac_tpu.train.optim import linear_warmup_lr
-    from zs_aac_tpu.utils.checkpoints import criterion_improver, load_params, save_params
+    from zs_aac_tpu.utils.checkpoints import (
+        criterion_improver,
+        join_async_saves,
+        load_params,
+        save_params_async,
+    )
 
     np.random.seed(args.seed)
 
@@ -278,26 +292,33 @@ def main(argv=None):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, loss = step_fn(state, batch, rng)
-            losses.append(float(loss))
+            # keep the loss ON DEVICE: a float() here is a blocking ~40 ms
+            # tunnel round-trip per step that serializes the pipeline
+            losses.append(loss)
             it += 1
             if it % args.val_interval == 0:
                 score, _ = run_validation(
                     state.params, ccfg, val_ds, tokenizer, stop_id, key2refs
                 )
-                logger.info("%10d\t%10.3g\t%10.3g", epoch, np.mean(losses), score)
+                logger.info("%10d\t%10.3g\t%10.3g", epoch,
+                            _mean_loss(losses), score)
                 if improved(score):
-                    save_params(os.path.join(out_dir, "best.pth"), state.params)
+                    save_params_async(os.path.join(out_dir, "best.pth"),
+                                      state.params)
             if args.max_iters and it >= args.max_iters:
                 break
-        save_params(os.path.join(out_dir, "last.pth"), state.params)
+        # async: the ~8 MB/s device->host checkpoint stream was ~60 s of
+        # blocked train loop per epoch on the remote tunnel (round 5)
+        save_params_async(os.path.join(out_dir, "last.pth"), state.params)
         if args.max_iters and it >= args.max_iters:
             break
 
     # Always run a final validation so short runs still produce best.pth.
     score, _ = run_validation(state.params, ccfg, val_ds, tokenizer, stop_id, key2refs)
-    logger.info("final\t%10.3g\t%10.3g", np.mean(losses) if losses else 0.0, score)
+    logger.info("final\t%10.3g\t%10.3g", _mean_loss(losses), score)
     if improved(score):
-        save_params(os.path.join(out_dir, "best.pth"), state.params)
+        save_params_async(os.path.join(out_dir, "best.pth"), state.params)
+    join_async_saves()
     print(f"run dir: {out_dir}  final CIDEr: {score:.4f}", flush=True)
     return out_dir
 

@@ -35,6 +35,31 @@ def save_params(path: str, params: Any) -> None:
         f.write(serialization.to_bytes(jax.device_get(params)))
 
 
+_ASYNC_SAVES: dict = {}
+
+
+def save_params_async(path: str, params: Any) -> None:
+    """``save_params`` in a background thread. On a remote-attached TPU the
+    ``device_get`` streams at ~8 MB/s, so a GPT-2-base snapshot blocks the
+    train loop for ~a minute per save (measured round 5); jax arrays are
+    immutable, so a thread snapshots safely while training continues.
+    Writes to the SAME path are serialized (join the previous one first);
+    call ``join_async_saves()`` before reading the files or exiting."""
+    import threading
+
+    prev = _ASYNC_SAVES.get(path)
+    if prev is not None:
+        prev.join()
+    t = threading.Thread(target=save_params, args=(path, params))
+    t.start()
+    _ASYNC_SAVES[path] = t
+
+
+def join_async_saves() -> None:
+    for path in list(_ASYNC_SAVES):
+        _ASYNC_SAVES.pop(path).join()
+
+
 def load_params(path: str, template: Any) -> Any:
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
