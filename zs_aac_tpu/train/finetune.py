@@ -100,13 +100,19 @@ def main(argv=None):
     for epoch in range(epochs):
         t0 = time.time()
         meter = AverageMeter()
+        losses = []
         for batch in dm.train_batches(seed + epoch):
             batch = {k: v for k, v in batch.items() if k != "text"}
             state, loss = train_step(state, shard_batch(batch, mesh), rng)
-            meter.update(float(loss))
+            losses.append(loss)  # on device; float() = 40 ms RTT/step
             it += 1
             if args.max_steps and it >= args.max_steps:
                 break
+        if losses:  # ONE stacked fetch per epoch
+            import jax.numpy as jnp
+
+            for v in np.asarray(jnp.stack(losses)):
+                meter.update(float(v))
         logger.info("epoch %d: loss %.4f, %.1fs", epoch, meter.avg, time.time() - t0)
         # validate() contains a multi-host collective — every process must
         # enter it; only logging/checkpointing is rank-0 (see pretrain.py).

@@ -337,6 +337,7 @@ def main(argv=None):
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         meter = AverageMeter()
+        losses = []
         for batch in pretrain_batches(
             dataset, tokenizer, config["data_args"]["batch_size"],
             seed=config.get("seed", 20) + epoch,
@@ -344,7 +345,7 @@ def main(argv=None):
             batch = {k: v for k, v in batch.items() if k != "text"}
             batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch, rng)
-            meter.update(float(loss))
+            losses.append(loss)  # on device; float() = 40 ms RTT/step
             it += 1
             if guard.should_stop:
                 save_train_state(os.path.join(ckpt_dir, "preempt_model.ckpt"), state)
@@ -352,6 +353,11 @@ def main(argv=None):
                 guard.exit_gracefully()
             if args.max_steps and it >= args.max_steps:
                 break
+        if losses:  # ONE stacked fetch per epoch
+            import jax.numpy as jnp
+
+            for v in np.asarray(jnp.stack(losses)):
+                meter.update(float(v))
         logger.info(
             "epoch %d: loss %.4f, time %.1fs", epoch, meter.avg, time.time() - t0
         )
