@@ -159,8 +159,13 @@ def decode_probe(run_dir: str, beam: int = 5, batch: int = 64) -> dict:
         gpt2=_gpt2_config(saved.get("gpt2_size", "base"),
                           saved.get("gpt2_vocab_size", tokenizer.vocab_size)),
     )
-    params = init_caption_model(jax.random.key(0), ccfg)
+    # zeros template via eval_shape (same trick as predict_prompt): eager
+    # init just to be overwritten by best.pth paid one-off tunnel compiles
+    shapes = jax.eval_shape(lambda k: init_caption_model(k, ccfg),
+                            jax.random.key(0))
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     params = load_params(os.path.join(run_dir, "best.pth"), params)
+    params = jax.device_put(params)
     gp = jax.device_put(
         jax.jit(lambda p: quantize_gpt2_int8(p, "w8a8"))(params["gpt2"]))
     rng = np.random.default_rng(0)
