@@ -242,20 +242,28 @@ def _dedup_tower_embs(tower, variables, ids_np, n_clips: int):
     tower compiles at most 3 shapes per id-length bucket."""
     full = ids_np.shape[0]
     ids_u, inv = np.unique(ids_np, axis=0, return_inverse=True)
+    if ids_u.shape[0] > full // 4:   # no dedup win: skip the gather too
+        return tower(variables, jnp.asarray(ids_np))
+    return _tower_bucketed(tower, variables, ids_u,
+                           inv.astype(np.int32), full, n_clips)
+
+
+def _tower_bucketed(tower, variables, ids_u, inv, full: int, n_clips: int):
+    """Tower over ``ids_u`` padded to one of three shape buckets, then a
+    device gather by ``inv`` back to the full [B*k, E] batch. Pad rows are
+    copies of row 0 (valid ids, never gathered)."""
     U = ids_u.shape[0]
     bucket = full
-    for b in sorted({max(n_clips, full // 16), full // 4}):
+    for b in sorted({max(n_clips, full // 16), full // 4, full}):
         if U <= b:
             bucket = b
             break
-    if bucket >= full:
-        return tower(variables, jnp.asarray(ids_np))
-    if U < bucket:   # pad with copies of row 0 (valid ids, never gathered)
+    if U < bucket:
         ids_u = np.concatenate(
             [ids_u, np.broadcast_to(ids_u[0], (bucket - U, ids_u.shape[1]))],
             axis=0)
     embs = tower(variables, jnp.asarray(ids_u))
-    return _gather_embs(embs, jnp.asarray(inv.astype(np.int32)))
+    return _gather_embs(embs, jnp.asarray(inv))
 
 
 def _fused_magic_step_for(cfg: GPT2Config, quant: bool):
@@ -483,6 +491,38 @@ class IncrementalWordPiece:
         self.stable = [self.stable[int(s)] for s in src]
         self.tail = [self.tail[int(s)] for s in src]
 
+    def candidate_matrix(self, top_ids) -> tuple:
+        """(unique wrapped id matrix, inverse index [B*k]) for the whole
+        step — the dedup entry point of the fused loops. Saturated clips
+        contribute ONE row for all k candidates (``candidate_rows``
+        returns the same list object k times; the id() memo makes that
+        O(1) per candidate), so the wrap/pad work and the tower batch
+        scale with UNIQUE rows, not B*k. Measured host split at B=128,
+        w=25 (round 5): full-matrix + np.unique cost ~20 ms/step; this
+        path replaces it with a dict pass over shared row objects."""
+        B, k = top_ids.shape
+        uniq_rows: List[List[int]] = []
+        seen: dict = {}
+        inv = np.empty(B * k, np.int32)
+        n = 0
+        for b in range(B):
+            rows = self.candidate_rows(b, top_ids[b])
+            # id() memo is only safe while the row objects are alive —
+            # rows from a FREED clip can alias new ids (observed: token
+            # divergence), so the memo is scoped to this clip's rows
+            memo: dict = {}
+            for r in rows:
+                key = memo.get(id(r))
+                if key is None:
+                    key = memo[id(r)] = tuple(r)
+                u = seen.get(key)
+                if u is None:
+                    u = seen[key] = len(uniq_rows)
+                    uniq_rows.append(list(r))
+                inv[n] = u
+                n += 1
+        return self.matrix(uniq_rows), inv
+
     def matrix(self, rows: List[List[int]]) -> np.ndarray:
         """CLS/SEP-wrap, truncate, and pad to the smallest {8,16,30} length
         bucket — identical layout to the full-retokenize ``dev.tokenize``
@@ -589,14 +629,14 @@ def magic_search_batched(
                     break
             top_ids = packed_np[0].astype(np.int64)
             if incr is not None:
-                rows = [r for b in range(B)
-                        for r in incr.candidate_rows(b, top_ids[b])]
-                ids_np = incr.matrix(rows)
+                ids_u, inv = incr.candidate_matrix(top_ids)
+                embs = _tower_bucketed(tower, dev.variables, ids_u, inv,
+                                       top_ids.size, B)
             else:
                 texts = [tokenizer.decode(generated[b] + [int(t)])
                          for b in range(B) for t in top_ids[b]]
                 ids_np = dev.tokenize(texts)  # ONE compact upload per step
-            embs = _dedup_tower_embs(tower, dev.variables, ids_np, B)
+                embs = _dedup_tower_embs(tower, dev.variables, ids_np, B)
             packed, plogits, new_kv, next_hidden, cache, context = fused(
                 gpt2_params, cache, new_kv, packed, plogits,
                 next_hidden, context, embs,
@@ -1019,15 +1059,15 @@ def generate_beam_magic_batched(
                     break
             top_ids = packed_np[0].astype(np.int64)               # [BM, w]
             if incr is not None:
-                rows = [r for g in range(BM)
-                        for r in incr.candidate_rows(g, top_ids[g])]
-                ids_np = incr.matrix(rows)
+                ids_u, inv = incr.candidate_matrix(top_ids)
+                embs = _tower_bucketed(tower, dev.variables, ids_u, inv,
+                                       top_ids.size, BM)
             else:
                 flat = tokens.reshape(BM, entry_length)
                 texts = [tokenizer.decode(list(flat[g, :emitted]) + [int(t)])
                          for g in range(BM) for t in top_ids[g]]
                 ids_np = dev.tokenize(texts)
-            embs = _dedup_tower_embs(tower, dev.variables, ids_np, BM)
+                embs = _dedup_tower_embs(tower, dev.variables, ids_np, BM)
             fused = _fused_beam_magic_step_for(cfg, beam_size,
                                                first=(i == 0))
             (packed, plogits, new_kv, hidden, cache, context,
