@@ -23,6 +23,7 @@ __all__ = ["main"]
 
 
 def main(argv=None):
+    from zs_aac_tpu.data.prefetch import prefetch
     from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
     p = argparse.ArgumentParser(description=__doc__)
@@ -101,7 +102,7 @@ def main(argv=None):
         t0 = time.time()
         meter = AverageMeter()
         losses = []
-        for batch in dm.train_batches(seed + epoch):
+        for batch in prefetch(dm.train_batches(seed + epoch)):
             batch = {k: v for k, v in batch.items() if k != "text"}
             state, loss = train_step(state, shard_batch(batch, mesh), rng)
             losses.append(loss)  # on device; float() = 40 ms RTT/step

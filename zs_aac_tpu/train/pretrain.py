@@ -194,6 +194,7 @@ def validate(encode_audio, encode_text, variables, datamodule, max_batches=None)
 def main(argv=None):
     from zs_aac_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()  # cross-CLI compile reuse (VERDICT r4 #5)
+    from zs_aac_tpu.data.prefetch import prefetch
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-l", "--lr", type=float, default=None)
@@ -338,10 +339,10 @@ def main(argv=None):
         t0 = time.time()
         meter = AverageMeter()
         losses = []
-        for batch in pretrain_batches(
+        for batch in prefetch(pretrain_batches(
             dataset, tokenizer, config["data_args"]["batch_size"],
             seed=config.get("seed", 20) + epoch,
-        ):
+        )):
             batch = {k: v for k, v in batch.items() if k != "text"}
             batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch, rng)

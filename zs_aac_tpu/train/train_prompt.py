@@ -212,6 +212,7 @@ def main(argv=None):
         make_caption_train_step,
     )
     from zs_aac_tpu.train.optim import linear_warmup_lr
+    from zs_aac_tpu.data.prefetch import prefetch
     from zs_aac_tpu.utils.checkpoints import (
         criterion_improver,
         join_async_saves,
@@ -287,7 +288,8 @@ def main(argv=None):
     for epoch in range(args.epochs):
         print(f">>> Training epoch {epoch}", flush=True)
         losses = []
-        for batch in caption_batches(dataset, args.bs, shuffle=True, seed=args.seed + epoch):
+        for batch in prefetch(caption_batches(dataset, args.bs, shuffle=True,
+                                               seed=args.seed + epoch)):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 batch = shard_batch(batch, mesh)

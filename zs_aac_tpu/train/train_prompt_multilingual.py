@@ -145,6 +145,7 @@ def main(argv=None):
     )
     from zs_aac_tpu.train.optim import cosine_lr
     from zs_aac_tpu.train.train_prompt import _make_tokenizer
+    from zs_aac_tpu.data.prefetch import prefetch
     from zs_aac_tpu.utils.checkpoints import (
         criterion_improver,
         join_async_saves,
@@ -247,7 +248,8 @@ def main(argv=None):
     for epoch in range(args.epochs):
         print(f">>> Training epoch {epoch}", flush=True)
         losses = []
-        for batch in caption_batches(dataset, args.bs, seed=args.seed + epoch):
+        for batch in prefetch(caption_batches(dataset, args.bs,
+                                               seed=args.seed + epoch)):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(params, opt_state, batch, sub)
