@@ -144,6 +144,11 @@ def test_train_and_predict_drivers_smoke(tmp_path):
     assert "SPIDEr" in scores
     txt = open(os.path.join(out_dir, "scores.txt")).read()
     assert "Bleu-4" in txt and "SPIDEr" in txt
+    # cold-cost itemization contract (round-5): per-run timing split
+    timing = json.load(open(os.path.join(out_dir, "timing.json")))
+    assert {"setup_s", "decode_s", "chunk_walls_s", "eval_and_write_s",
+            "total_s", "n_clips"} <= set(timing)
+    assert timing["n_clips"] == 3 and len(timing["chunk_walls_s"]) >= 1
 
 
 def test_generate_beam_magic():
