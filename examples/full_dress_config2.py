@@ -206,17 +206,27 @@ def main():
     runs = os.path.join(root, "caption_runs")
     run_dir = os.path.join(runs, sorted(os.listdir(runs))[-1])
 
+    def _timing(tag):
+        p = os.path.join(run_dir, "timing.json")
+        return {tag: json.load(open(p))} if os.path.exists(p) else {}
+
     run("7_predict_greedy", "zs_aac_tpu.train.predict_prompt",
         "--test_dir", run_dir, "--data", test_bank,
         "--sound_effect", label_bank)
     greedy_scores = open(os.path.join(run_dir, "scores.txt")).read()
+    timing = _timing("greedy")            # 7b overwrites timing.json too
     run("7_predict_beam", "zs_aac_tpu.train.predict_prompt",
         "--test_dir", run_dir, "--data", test_bank,
         "--sound_effect", label_bank, "--isbeam")
+    timing.update(_timing("beam"))
 
     print("\n--- greedy scores.txt ---\n" + greedy_scores)
     print("--- beam scores.txt ---")
     print(open(os.path.join(run_dir, "scores.txt")).read())
+    if timing:   # cold-cost split per predict stage (VERDICT r4 weak #5)
+        print("predict timing split:", json.dumps(timing, indent=1))
+        json.dump(timing, open(os.path.join(root, "predict_timing.json"),
+                               "w"), indent=1)
     preds = json.load(open(os.path.join(run_dir, "output.txt")))["predictions"]
     print("sample predictions:")
     for p in preds[:5]:
