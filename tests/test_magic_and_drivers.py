@@ -759,6 +759,12 @@ def test_predict_driver_magic_modes(tmp_path):
     out = json.load(open(os.path.join(out_dir, "output.txt")))
     assert len(out["predictions"]) == 3 and "SPIDEr" in scores_b
 
+    # opt-in int8 text tower through the CLI (loader quantizes the real
+    # loaded ASE variables; registry guard exercised)
+    scores_q = predict_main(common + ["--q8_tower"])
+    out = json.load(open(os.path.join(out_dir, "output.txt")))
+    assert len(out["predictions"]) == 3 and "SPIDEr" in scores_q
+
 
 def test_dedup_tower_embs_exact():
     """Tower-over-uniques + inverse gather is bit-exact vs the full batch,

@@ -131,17 +131,19 @@ def make_magic_scorer(
     tokenizer,
     encode_text_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
     temp: float = 0.07,
+    q8_tower: bool = False,
 ):
     """Build fn(audio_embed [E], candidate_token_lists) -> [k] CLAP scores.
 
     ``encode_text_fn`` maps raw strings to CLAP text embeddings; when a
     checkpoint path is given, the ASE text tower is loaded (msgpack params
-    saved by this framework). Tests inject a fake encoder.
-    """
+    saved by this framework). Tests inject a fake encoder. ``q8_tower``
+    serves the BERT text tower with w8a8 int8 dots (opt-in approximate
+    mode — models/bert_q8.py)."""
     if encode_text_fn is None:
         if clap_ckpt is None:
             raise ValueError("MAGIC needs --clap_ckpt or an injected text encoder")
-        encode_text_fn = _load_ase_text_encoder(clap_ckpt)
+        encode_text_fn = _load_ase_text_encoder(clap_ckpt, q8_tower=q8_tower)
 
     def scorer(audio_embed: np.ndarray, candidate_ids: List[List[int]]) -> np.ndarray:
         texts = [tokenizer.decode(ids) for ids in candidate_ids]
@@ -318,7 +320,7 @@ def _fused_magic_step_for(cfg: GPT2Config, quant: bool):
     return fused
 
 
-def _load_ase_text_encoder(path: str):
+def _load_ase_text_encoder(path: str, q8_tower: bool = False):
     """Load an ASE checkpoint (this framework's msgpack format + a json
     sidecar with the ASEConfig) and return a text-string encoder."""
     import json
@@ -363,25 +365,42 @@ def _load_ase_text_encoder(path: str):
 
     wp = WordPieceTokenizer.from_file(bert_tok)
 
-    @_jax.jit
-    def enc(vv, ids, mask):
-        return ASE(cfg).apply(vv, ids, mask, train=False, method=ASE.encode_text)
-
-    def encode(texts: List[str]):
-        ids, mask = wp.batch_encode(texts, max_length=30, pad_to_max=True)
-        # returned ON DEVICE: the batched scorer finishes the scoring there
-        # and fetches only [B, k] floats (see scorer_batched)
-        return enc(variables, jnp.asarray(ids), jnp.asarray(mask))
-
-    # pure-apply surface for the fully-fused batched MAGIC step
+    # pure-apply surface for the fully-fused batched MAGIC step (and the
+    # string-level ``encode`` below — both route through ``_apply`` so the
+    # optional int8 tower serves every scorer path)
     import types
 
-    def _apply(vv, ids, _cfg=cfg):
-        # WordPiece [PAD] is id 0 — the attention mask is derived on
-        # device so the host uploads ONE compact array per step
-        mask = (ids != 0).astype(jnp.int32)
-        return ASE(_cfg).apply(vv, ids.astype(jnp.int32), mask, train=False,
-                               method=ASE.encode_text)
+    if q8_tower:
+        # opt-in w8a8 BERT tower (models/bert_q8.py) — only the BERT-family
+        # registry entries lower to a BertEncoder tower
+        from zs_aac_tpu.models.ase import (
+            CLIP_TEXT_REGISTRY,
+            GPT2_TEXT_REGISTRY,
+            text_config,
+        )
+        from zs_aac_tpu.models.bert_q8 import (
+            encode_text_q8,
+            quantize_text_tower_int8,
+        )
+
+        if (cfg.text_model in CLIP_TEXT_REGISTRY
+                or cfg.text_model in GPT2_TEXT_REGISTRY):
+            raise ValueError(
+                f"--q8_tower supports BERT-family text towers only; "
+                f"checkpoint uses {cfg.text_model!r}")
+        bcfg = text_config(cfg.text_model)
+        variables = _jax.jit(
+            lambda v: quantize_text_tower_int8(v, bcfg))(variables)
+
+        def _apply(vv, ids, _bcfg=bcfg):
+            return encode_text_q8(vv, _bcfg, ids)
+    else:
+        def _apply(vv, ids, _cfg=cfg):
+            # WordPiece [PAD] is id 0 — the attention mask is derived on
+            # device so the host uploads ONE compact array per step
+            mask = (ids != 0).astype(jnp.int32)
+            return ASE(_cfg).apply(vv, ids.astype(jnp.int32), mask,
+                                   train=False, method=ASE.encode_text)
 
     def _tokenize(texts):
         # Compact upload: int16 ids (BERT vocab < 32k), and pad only to the
@@ -397,6 +416,13 @@ def _load_ase_text_encoder(path: str):
             if actual <= bucket:
                 return ids[:, :bucket]
         return ids
+
+    enc_j = _jax.jit(_apply)
+
+    def encode(texts: List[str]):
+        # returned ON DEVICE: the batched scorer finishes the scoring there
+        # and fetches only [B, k] floats (see scorer_batched)
+        return enc_j(variables, jnp.asarray(_tokenize(texts).astype(np.int32)))
 
     encode.device = types.SimpleNamespace(
         apply_fn=_apply, variables=variables, tokenize=_tokenize,

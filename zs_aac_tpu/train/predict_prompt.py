@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in approx mode: run beam attention softmax in "
                         "bf16 (selection stays fp32-exact); agreement slack "
                         "quantified in BASELINE.md")
+    p.add_argument("--q8_tower", action="store_true",
+                   help="opt-in approx mode for --magic: serve the CLAP "
+                        "BERT text tower with w8a8 int8 dots "
+                        "(models/bert_q8.py) — the tower dominates the "
+                        "early/mid MAGIC step device cost; agreement "
+                        "bounded in tests/test_bert_q8.py")
     return p
 
 
@@ -154,7 +160,8 @@ def main(argv=None):
     if args.magic:
         from zs_aac_tpu.decoding.magic import make_magic_scorer
 
-        magic_score_fn = make_magic_scorer(args.clap_ckpt, tokenizer)
+        magic_score_fn = make_magic_scorer(args.clap_ckpt, tokenizer,
+                                           q8_tower=args.q8_tower)
 
     # jitted embedding assembly: the eager call dispatched the mapper
     # op-by-op through the tunnel once per chunk (VERDICT r4 weak #5);
