@@ -84,7 +84,7 @@ def main():
 
     _PROBE = ("import jax, jax.numpy as jnp, numpy as np;"
               "assert float(np.asarray(jax.jit(lambda a: (a@a).sum())"
-              "(jnp.ones((8,8))))) == 8.0")
+              "(jnp.ones((8,8))))) == 512.0")
     for attempt in range(8):
         try:
             probe = subprocess.run([sys.executable, "-c", _PROBE],
