@@ -174,21 +174,49 @@ def decode_probe(run_dir: str, beam: int = 5, batch: int = 64) -> dict:
     emb = jax.jit(lambda p, pr: caption_embeddings(p, ccfg, pr))(
         params, prefix).astype(jnp.bfloat16)
 
-    def chained(e, n):
+    def chained(e, n, salt):
+        # perturbation is data-dependent on t (keeps the chain ordered)
+        # AND strictly distinct per call (salt + i): `(t.sum() % 2) * eps`
+        # could be a no-op when the parity lands 0, making every call
+        # identical — and the tunnel serves identical (executable, args)
+        # pairs from a result cache (measured: 24 ms/call "decode" that
+        # was pure RTT). See .claude/skills/verify/SKILL.md timing notes.
         t = None
-        for _ in range(n):
+        for i in range(n):
+            # stop id -1 is unreachable: the row is the FULL-67-step cost
+            # (trained weights emit the real stop id within ~10 steps and
+            # the while_loop early-exits, which is the predict-path number
+            # — the sweep table's predict_timing — not this row's)
             t, l, s = beam_search_batched_q8(gp, ccfg.gpt2, e, beam, 67,
-                                             stop_id)
-            e = e + (t.sum() % 2).astype(e.dtype) * 1e-2
+                                             -1)
+            e = e + ((t.sum() % 3).astype(e.dtype) + 1.0) * 1e-3 * (salt + i + 1)
         return t
 
-    float(np.asarray(chained(emb, 1))[0, 0, 0])          # absorb compile
-    t0 = time.perf_counter(); np.asarray(chained(emb, 1)); t1 = time.perf_counter() - t0
+    def fresh_emb(seed):
+        pr = jnp.asarray(np.random.default_rng(seed)
+                         .standard_normal((batch, ccfg.prefix_size))
+                         .astype(np.float32))
+        return jax.jit(lambda p, r: caption_embeddings(p, ccfg, r))(
+            params, pr).astype(jnp.bfloat16)
+
+    # warmup covers the decode AND the perturbation ops, then a fetch
+    # absorbs any server-side async compile; a throwaway timed single call
+    # then absorbs any straggler (an inflated 1-call baseline DEFLATES the
+    # difference estimate — observed: Lp=5 read 41.7 ms/call against a
+    # 90-169 ms ladder at Lp=10/20/40)
+    float(np.asarray(chained(emb, 3, 0))[0, 0, 0])
+    e0, e1, e2 = fresh_emb(3), fresh_emb(1), fresh_emb(2)
+    np.asarray(chained(e0, 1, 50))
+    t0 = time.perf_counter(); np.asarray(chained(e1, 1, 100)); t1 = time.perf_counter() - t0
     n = 6
-    t0 = time.perf_counter(); np.asarray(chained(emb, n + 1)); t2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); np.asarray(chained(e2, n + 1, 200)); t2 = time.perf_counter() - t0
     per = (t2 - t1) / n
+    # the verify-skill sanity check: 1call - per should be ~one tunnel RTT;
+    # a negative or >0.5 s residue means a compile leaked into a baseline
     return {"ms_per_call": round(per * 1e3, 1),
-            "clips_per_s": round(batch / per, 1)}
+            "clips_per_s": round(batch / per, 1),
+            "one_call_ms": round(t1 * 1e3, 1),
+            "rtt_residue_ms": round((t1 - per) * 1e3, 1)}
 
 
 def main():
