@@ -151,6 +151,39 @@ def build_workdir(root):
     open(marker, "w").write("ok\n")
 
 
+def _print_trace_census(tdir, wall_s):
+    """Sum device-lane op durations from the newest jax.profiler trace and
+    print the top entries — the itemization tool the BASELINE MAGIC notes
+    cite (device total vs wall splits device-bound from host/RTT-bound)."""
+    import glob
+    import gzip
+
+    traces = sorted(glob.glob(os.path.join(tdir, "plugins/profile/*/*.trace.json.gz")),
+                    key=os.path.getmtime)
+    if not traces:
+        print("[profile] no trace written", flush=True)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_name = {e["pid"]: e.get("args", {}).get("name", "")
+                for e in events if e.get("ph") == "M"
+                and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pid_name.items()
+                if "TPU" in n or "/device" in n.lower()}
+    totals = {}
+    dev_total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+            totals[e["name"]] = totals.get(e["name"], 0.0) + e["dur"]
+            dev_total += e["dur"]
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:25]
+    print(json.dumps({"profile_device_total_ms": round(dev_total / 1e3, 1),
+                      "profile_wall_ms": round(wall_s * 1e3, 1)}), flush=True)
+    for name, us in top:
+        print(f"  {us/1e3:9.1f} ms  {name[:110]}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["greedy", "beam"], default="greedy")
@@ -163,6 +196,9 @@ def main():
                    help="-1 = unreachable (full-N-step worst case)")
     p.add_argument("--q8", action="store_true", help="int8 LM weights")
     p.add_argument("--q8_tower", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="jax.profiler-trace the first timed run and print "
+                        "the device-op time census (top 25 by total time)")
     args = p.parse_args()
 
     build_workdir(WORK)
@@ -228,8 +264,17 @@ def main():
     for r in range(args.runs):
         pre, aud = fresh_inputs()
         t0 = time.perf_counter()
-        toks = decode(pre, aud)
+        if args.profile and r == 0:
+            from zs_aac_tpu.utils.profiling import trace
+
+            tdir = "/tmp/magic_profile"
+            with trace(tdir):
+                toks = decode(pre, aud)
+        else:
+            toks = decode(pre, aud)
         wall = time.perf_counter() - t0
+        if args.profile and r == 0:
+            _print_trace_census(tdir, wall)
         steps_run = max(len(t) for t in toks) if args.mode == "greedy" else args.steps
         rates.append(args.B / wall)
         print(json.dumps({**label, "run": r, "wall_s": round(wall, 3),
