@@ -35,6 +35,17 @@ def _native_lib():
         import ctypes
 
         path = os.path.join(os.path.dirname(__file__), "..", "native", "libaudioio.so")
+        if not os.path.exists(path):
+            # the .so is gitignored — build it on first use so a fresh
+            # clone behaves like a built tree (g++ is part of the image;
+            # ~2 s). Failures fall through to the pure-python path.
+            import subprocess
+
+            build = os.path.join(os.path.dirname(path), "build.sh")
+            try:
+                subprocess.run(["sh", build], capture_output=True, timeout=120)
+            except Exception:
+                pass
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
             lib.decode_wav_resample.restype = ctypes.c_long
